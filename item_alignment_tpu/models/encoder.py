@@ -1,0 +1,121 @@
+"""BERT/RoBERTa-style transformer encoder (Flax Linen), TPU-first.
+
+Replaces the reference's dependency on HuggingFace ``RobertaEncoder``
+(``src/models/text.py:1108``).  Post-LN BERT blocks; attention runs through
+``ops.attention`` which dispatches to a Pallas fused kernel on TPU.
+
+Sharding: weights carry logical axis metadata via ``nn.with_partitioning``
+so a mesh rule set can lay q/k/v/mlp kernels across a ``tensor`` axis and
+everything else across ``fsdp`` (see ``parallel/sharding.py``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from item_alignment_tpu.config import ModelConfig
+from item_alignment_tpu.ops.attention import (
+    dot_product_attention,
+    flash_attention,
+    make_attention_bias,
+)
+
+ACT = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": jax.nn.relu,
+    "swish": jax.nn.silu,
+    "silu": jax.nn.silu,
+}
+
+
+class SelfAttention(nn.Module):
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden, bias, deterministic: bool = True):
+        cfg = self.config
+        B, S, H = hidden.shape
+        N, D = cfg.num_attention_heads, cfg.head_dim
+        dense = lambda name: nn.Dense(  # noqa: E731
+            H, name=name,
+            kernel_init=nn.initializers.normal(cfg.initializer_range))
+        q = dense("query")(hidden).reshape(B, S, N, D)
+        k = dense("key")(hidden).reshape(B, S, N, D)
+        v = dense("value")(hidden).reshape(B, S, N, D)
+
+        dropout_rng = None
+        rate = cfg.attention_probs_dropout_prob
+        if not deterministic and rate > 0.0:
+            dropout_rng = self.make_rng("dropout")
+
+        attend = flash_attention if cfg.use_flash_attention else dot_product_attention
+        ctx = attend(q, k, v, bias, dropout_rate=0.0 if deterministic else rate,
+                     dropout_rng=dropout_rng, dtype=hidden.dtype)
+        out = nn.Dense(H, name="output",
+                       kernel_init=nn.initializers.normal(cfg.initializer_range))(
+            ctx.reshape(B, S, H))
+        return out
+
+
+class TransformerLayer(nn.Module):
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden, bias, deterministic: bool = True):
+        cfg = self.config
+        drop = nn.Dropout(cfg.hidden_dropout_prob)
+        attn_out = SelfAttention(cfg, name="attention")(hidden, bias, deterministic)
+        attn_out = drop(attn_out, deterministic=deterministic)
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attention_layer_norm")(
+            hidden + attn_out)
+
+        act = ACT[cfg.hidden_act]
+        mlp = nn.Dense(cfg.intermediate_size, name="intermediate",
+                       kernel_init=nn.initializers.normal(cfg.initializer_range))(hidden)
+        mlp = act(mlp)
+        mlp = nn.Dense(cfg.hidden_size, name="mlp_output",
+                       kernel_init=nn.initializers.normal(cfg.initializer_range))(mlp)
+        mlp = drop(mlp, deterministic=deterministic)
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="output_layer_norm")(
+            hidden + mlp)
+        return hidden
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of post-LN layers; returns all hidden states (embeddings first),
+    matching HF's ``output_hidden_states=True`` used for ``cls_layers``."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> List[jax.Array]:
+        cfg = self.config
+        bias = None
+        if attention_mask is not None:
+            bias = make_attention_bias(attention_mask, dtype=jnp.float32)
+        states = [hidden]
+        for i in range(cfg.num_hidden_layers):
+            hidden = TransformerLayer(cfg, name=f"layer_{i}")(hidden, bias, deterministic)
+            states.append(hidden)
+        return states
+
+
+class Pooler(nn.Module):
+    """dense+tanh over [CLS] (HF RobertaPooler)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden):
+        x = hidden[:, 0]
+        return jnp.tanh(nn.Dense(self.config.hidden_size, name="dense")(x))

@@ -1,0 +1,5 @@
+from item_alignment_tpu.ops.attention import (  # noqa: F401
+    dot_product_attention,
+    flash_attention,
+    make_attention_bias,
+)

@@ -1,0 +1,69 @@
+"""Attention ops.
+
+`dot_product_attention` is the XLA-fused reference path (works on any
+backend); `flash_attention` dispatches to a Pallas TPU kernel for the
+512-token cross-encoder hot loop (reference hot path:
+``finetune_text.py:401-415`` → 24x self-attention over 510 tokens).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # matches BERT-style additive masking ((1-mask)*-10000 in HF)
+
+
+def make_attention_bias(attention_mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """[B, S] {0,1} key mask -> [B, 1, 1, S] additive bias."""
+    bias = (1.0 - attention_mask.astype(dtype)) * NEG_INF
+    return bias[:, None, None, :]
+
+
+def dot_product_attention(
+    q: jax.Array,  # [B, S, N, H]
+    k: jax.Array,  # [B, T, N, H]
+    v: jax.Array,  # [B, T, N, H]
+    bias: Optional[jax.Array] = None,  # [B, 1|N, 1|S, T] additive
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Plain masked multi-head attention; XLA fuses the softmax chain."""
+    depth = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(depth, dtype=jnp.float32))
+    # [B, N, S, T]
+    scores = jnp.einsum("bsnh,btnh->bnst", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep.astype(dtype) / (1.0 - dropout_rate)
+    return jnp.einsum("bnst,btnh->bsnh", probs, v)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Fused attention. Uses the Pallas kernel on TPU for the inference /
+    no-dropout path, otherwise falls back to the XLA path."""
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        return dot_product_attention(q, k, v, bias, dropout_rate, dropout_rng, dtype)
+    if jax.default_backend() != "tpu":
+        return dot_product_attention(q, k, v, bias, dtype=dtype)
+    try:
+        from item_alignment_tpu.ops.pallas_attention import fused_attention
+        return fused_attention(q, k, v, bias).astype(dtype)
+    except Exception:
+        return dot_product_attention(q, k, v, bias, dtype=dtype)
