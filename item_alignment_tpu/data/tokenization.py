@@ -1,0 +1,341 @@
+"""Sequence-layout builders: raw pair rows -> fixed-shape numpy arrays.
+
+Faithful re-implementations of the layouts in reference
+``src/data/data.py`` (tokenization moves offline because XLA wants static
+shapes; the reference re-tokenizes per sample per epoch):
+
+- one-tower ``cls``:      ``[CLS] src [SEP] tgt [SEP]`` via HF pair encoding,
+  LONGEST_FIRST truncation to 2*max_length (data.py:558-563)
+- one-tower ``vec_sim``:  independently padded src + ``[BOS]`` + tgt[1:],
+  token_type+1 on the tgt half (data.py:548-556)
+- two-tower:              per-item ``title [SEP] jieba(pvs)`` (data.py:786-832)
+- PKGM layouts:           text ids + [entity, relations...] id-space, with
+  embedded-space masks/token-types/positions (data.py:277-516)
+- image one-tower:        ``[unused99] [SEP]`` prefix + per-sample tgt image
+  token index (data.py:623-753)
+- aux-task pair_indices:  colon/semicolon scan over pv ids (data.py:568-615),
+  padded to a fixed [max_pairs, 5] block.
+
+Constants from data.py:9-12.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from item_alignment_tpu.data.datasets import ArrayDataset
+from item_alignment_tpu.utils import BOS_TOKEN
+
+IMG_TOKEN = "[unused99]"
+IMG_TOKEN_ID = 99
+COLON_ID = 131
+SEMICOLON_ID = 132
+
+
+def load_text_tokenizer(path_or_name: str):
+    """BertTokenizer with the reference's bos ``"<S>"`` mapped in
+    (``finetune_text.py:187-189``), basic tokenization disabled for parity."""
+    from transformers import BertTokenizer
+
+    tok = BertTokenizer.from_pretrained(path_or_name)
+    tok.add_special_tokens({"bos_token": BOS_TOKEN})
+    return tok
+
+
+def segment_pvs(pvs: str) -> str:
+    """jieba word segmentation, space-joined (data.py:541-544)."""
+    import jieba
+
+    return " ".join(jieba.cut(pvs))
+
+
+def build_item_text(title: str, pvs: str, sep_token: str = "[SEP]") -> str:
+    """``title [SEP] jieba(pvs)`` (data.py:541-544)."""
+    return " ".join((title, sep_token, segment_pvs(pvs)))
+
+
+# ----------------------------------------------------------------- layouts
+def encode_one_tower_cls(tok, src_text: str, tgt_text: str, max_length: int
+                         ) -> Dict[str, List[int]]:
+    enc = tok(text=src_text, text_pair=tgt_text, max_length=2 * max_length,
+              padding="max_length", truncation="longest_first")
+    return {"input_ids": enc["input_ids"],
+            "token_type_ids": enc["token_type_ids"],
+            "attention_mask": enc["attention_mask"]}
+
+
+def encode_one_tower_vec_sim(tok, src_text: str, tgt_text: str, max_length: int
+                             ) -> Dict[str, List[int]]:
+    src = tok(text=src_text, max_length=max_length, padding="max_length",
+              truncation="longest_first")
+    tgt = tok(text=tgt_text, max_length=max_length, padding="max_length",
+              truncation="longest_first")
+    input_ids = src["input_ids"] + [tok.bos_token_id] + tgt["input_ids"][1:]
+    token_type_ids = src["token_type_ids"] + [t + 1 for t in tgt["token_type_ids"]]
+    attention_mask = src["attention_mask"] + tgt["attention_mask"]
+    return {"input_ids": input_ids, "token_type_ids": token_type_ids,
+            "attention_mask": attention_mask}
+
+
+def encode_two_tower_item(tok, text: str, max_length: int) -> Dict[str, List[int]]:
+    enc = tok(text=text, max_length=max_length, padding="max_length",
+              truncation="longest_first")
+    return {"input_ids": enc["input_ids"],
+            "token_type_ids": enc["token_type_ids"],
+            "attention_mask": enc["attention_mask"]}
+
+
+def extract_pair_indices(input_ids: Sequence[int], sep_id: int,
+                         max_pairs: int) -> np.ndarray:
+    """Aligned-pv-pair spans for the auxiliary task (data.py:568-615).
+
+    Walks src/tgt pv regions in lockstep; for each aligned key emits
+    (src_start, src_end, tgt_start, tgt_end, same_value).  Padded to
+    [max_pairs, 5] with -1 rows.
+    """
+    pos_sep = [i for i, t in enumerate(input_ids) if t == sep_id]
+    out = np.full((max_pairs, 5), -1, dtype=np.int32)
+    if len(pos_sep) < 4:
+        return out
+    src_pre, tgt_pre = pos_sep[0] + 1, pos_sep[2] + 1
+    src_ids = list(input_ids[pos_sep[0] + 1: pos_sep[1]])
+    tgt_ids = list(input_ids[pos_sep[2] + 1: pos_sep[3]])
+    pairs = []
+    src_p = tgt_p = 0
+    src_colon, src_semi, src_prev_semi = None, -1, None
+    tgt_colon, tgt_semi, tgt_prev_semi = None, -1, None
+    while src_p < len(src_ids) and tgt_p < len(tgt_ids):
+        while src_p < len(src_ids):
+            if src_ids[src_p] == COLON_ID:
+                src_colon = src_p
+            elif src_ids[src_p] == SEMICOLON_ID:
+                src_prev_semi = src_semi
+                src_semi = src_p
+                src_p += 1
+                break
+            src_p += 1
+        else:
+            break
+        while tgt_p < len(tgt_ids):
+            if tgt_ids[tgt_p] == COLON_ID:
+                tgt_colon = tgt_p
+            elif tgt_ids[tgt_p] == SEMICOLON_ID:
+                tgt_prev_semi = tgt_semi
+                tgt_semi = tgt_p
+                tgt_p += 1
+                break
+            tgt_p += 1
+        else:
+            break
+        src_key = src_ids[src_prev_semi + 1: src_colon]
+        src_value = src_ids[src_colon + 1: src_semi]
+        tgt_key = tgt_ids[tgt_prev_semi + 1: tgt_colon]
+        tgt_value = tgt_ids[tgt_colon + 1: tgt_semi]
+        if src_key != tgt_key:
+            break
+        pairs.append([src_prev_semi + 1 + src_pre, src_semi + src_pre,
+                      tgt_prev_semi + 1 + tgt_pre, tgt_semi + tgt_pre,
+                      1 if src_value == tgt_value else 0])
+    for i, p in enumerate(pairs[:max_pairs]):
+        out[i] = p
+    return out
+
+
+# --------------------------------------------------------------- PKGM
+def _pad_text_sequence(ids: List[int], token_type_id: int, max_len: int):
+    mask = [1] * len(ids)
+    tt = [token_type_id] * len(ids)
+    ids = ids + [0] * (max_len - len(ids))
+    mask = mask + [0] * (max_len - len(mask))
+    tt = tt + [0] * (max_len - len(tt))
+    return ids, mask, tt
+
+
+def _pad_kg_sequence(ids: List[int], token_type_id: int, max_pvs: int):
+    """ids = [entity, rel...]; masks/token-types cover the 2*max_pvs embedded
+    kg tokens (data.py:378-388: each relation becomes 2 query tokens)."""
+    n_rel = max(len(ids) - 1, 0)
+    mask = [1] * (n_rel * 2)
+    tt = [token_type_id] * (n_rel * 2)
+    ids = ids + [0] * (max_pvs + 1 - len(ids))
+    mask = mask + [0] * (2 * max_pvs - len(mask))
+    tt = tt + [0] * (2 * max_pvs - len(tt))
+    return ids, mask, tt
+
+
+def encode_pkgm_item(tok, kg_ent: Dict[str, int], kg_rel: Dict[str, int],
+                     item_id: str, title: str, pvs: str, max_seq_len: int,
+                     max_pvs: int, token_type_id: int = 0,
+                     leading_token: Optional[str] = None):
+    """One PKGM item: text ids (max_seq_len) + kg ids (1+max_pvs) in id-space;
+    mask/token-types in embedded space (max_seq_len + 2*max_pvs)."""
+    title_ids = tok.convert_tokens_to_ids(tok.tokenize(title))[: max_seq_len - 2]
+    lead = tok.cls_token_id if leading_token is None else \
+        tok.convert_tokens_to_ids(leading_token)
+    text_ids = [lead] + title_ids + [tok.sep_token_id]
+    text_ids, text_mask, text_tt = _pad_text_sequence(
+        text_ids, token_type_id, max_seq_len)
+
+    rel_ids = []
+    for pv in pvs.split(";"):
+        try:
+            r, _ = pv.split(":", maxsplit=1)
+        except ValueError:
+            continue
+        if r in kg_rel:
+            rel_ids.append(kg_rel[r])
+    kg_ids = []
+    if rel_ids:
+        kg_ids = [kg_ent.get(f"/item/{item_id}", 0)] + rel_ids
+    kg_ids = kg_ids[: 1 + max_pvs]
+    kg_ids, kg_mask, kg_tt = _pad_kg_sequence(kg_ids, token_type_id, max_pvs)
+
+    return (text_ids + kg_ids, text_mask + kg_mask, text_tt + kg_tt)
+
+
+def encode_pkgm_one_tower(tok, kg_ent, kg_rel, row, max_seq_len: int,
+                          max_pvs: int, classification_method: str = "cls"):
+    """(data.py:277-392): src block then tgt block; tgt leading token is
+    [BOS] for vec_sim else [SEP]."""
+    (label, src_item_id, _, src_title, src_pvs,
+     tgt_item_id, _, tgt_title, tgt_pvs) = row
+    src_ids, src_mask, src_tt = encode_pkgm_item(
+        tok, kg_ent, kg_rel, src_item_id, src_title, src_pvs,
+        max_seq_len, max_pvs, token_type_id=0)
+    lead = BOS_TOKEN if classification_method == "vec_sim" else tok.sep_token
+    tgt_ids, tgt_mask, tgt_tt = encode_pkgm_item(
+        tok, kg_ent, kg_rel, tgt_item_id, tgt_title, tgt_pvs,
+        max_seq_len, max_pvs, token_type_id=1, leading_token=lead)
+    embed_len = 2 * (max_seq_len + 2 * max_pvs)
+    return {
+        "input_ids": src_ids + tgt_ids,
+        "attention_mask": src_mask + tgt_mask,
+        "token_type_ids": src_tt + tgt_tt,
+        "position_ids": list(range(embed_len)),
+        "labels": int(label),
+    }
+
+
+# ------------------------------------------------------------ image splice
+def encode_image_one_tower(tok, src_text: str, tgt_text: str, max_length: int
+                           ) -> Dict[str, list]:
+    """roberta_image ``ensemble=="begin"`` layout (data.py:623-700):
+    ``[CLS] [IMG] src [SEP] [IMG] tgt [SEP]``; the tgt [IMG] index is
+    recorded per sample for the embedding splice."""
+    src = f"{IMG_TOKEN} {src_text}"
+    tgt = f"{IMG_TOKEN} {tgt_text}"
+    enc = tok(text=src, text_pair=tgt, max_length=2 * max_length,
+              padding="max_length", truncation="longest_first")
+    ids = enc["input_ids"]
+    img_positions = [i for i, t in enumerate(ids) if t == IMG_TOKEN_ID]
+    image_index = img_positions[1] if len(img_positions) > 1 else 1
+    return {"input_ids": ids, "token_type_ids": enc["token_type_ids"],
+            "attention_mask": enc["attention_mask"],
+            "image_indices": image_index}
+
+
+# ----------------------------------------------------------- dataset build
+def rows_to_one_tower_dataset(
+    rows: Sequence, tok, max_seq_len: Optional[int], max_seq_len_pv: Optional[int],
+    classification_method: str = "cls", auxiliary_task: bool = False,
+    max_pairs: int = 32,
+) -> ArrayDataset:
+    """TSV rows (label, src_id, src_cate, src_title, src_pvs, tgt_id,
+    tgt_cate, tgt_title, tgt_pvs) -> fixed arrays (RobertaOneTowerDataset,
+    data.py:519-620)."""
+    feats: Dict[str, list] = {"input_ids": [], "token_type_ids": [],
+                              "attention_mask": [], "labels": []}
+    if auxiliary_task:
+        feats["pair_spans"] = []
+    meta = {"src_item_id": [], "tgt_item_id": []}
+    for row in rows:
+        (label, src_item_id, _, src_title, src_pvs,
+         tgt_item_id, _, tgt_title, tgt_pvs) = row
+        if max_seq_len is None:
+            src_text, tgt_text, max_length = src_pvs, tgt_pvs, max_seq_len_pv
+        elif max_seq_len_pv is None:
+            src_text, tgt_text, max_length = src_title, tgt_title, max_seq_len
+        else:
+            src_text = build_item_text(src_title, src_pvs, tok.sep_token)
+            tgt_text = build_item_text(tgt_title, tgt_pvs, tok.sep_token)
+            max_length = max_seq_len + max_seq_len_pv
+        if classification_method == "vec_sim":
+            enc = encode_one_tower_vec_sim(tok, src_text, tgt_text, max_length)
+        else:
+            enc = encode_one_tower_cls(tok, src_text, tgt_text, max_length)
+        for k in ("input_ids", "token_type_ids", "attention_mask"):
+            feats[k].append(enc[k])
+        feats["labels"].append(int(label))
+        if auxiliary_task:
+            feats["pair_spans"].append(
+                extract_pair_indices(enc["input_ids"], tok.sep_token_id, max_pairs))
+        meta["src_item_id"].append(src_item_id)
+        meta["tgt_item_id"].append(tgt_item_id)
+    arrays = {k: np.asarray(v, dtype=np.int32) for k, v in feats.items()}
+    return ArrayDataset(arrays, meta)
+
+
+def rows_to_two_tower_dataset(
+    rows: Sequence, tok, max_seq_len: Optional[int], max_seq_len_pv: Optional[int],
+) -> ArrayDataset:
+    """-> input_ids_{1,2}/attention_mask_{1,2}/token_type_ids_{1,2}
+    (RobertaTwoTowerDataset, data.py:786-832)."""
+    feats: Dict[str, list] = {f"{k}_{i}": [] for k in
+                              ("input_ids", "attention_mask", "token_type_ids")
+                              for i in (1, 2)}
+    feats["labels"] = []
+    meta = {"src_item_id": [], "tgt_item_id": []}
+    max_length = (max_seq_len or 0) + (max_seq_len_pv or 0)
+    for row in rows:
+        (label, src_item_id, _, src_title, src_pvs,
+         tgt_item_id, _, tgt_title, tgt_pvs) = row
+        for i, (title, pvs) in enumerate(((src_title, src_pvs),
+                                          (tgt_title, tgt_pvs)), start=1):
+            text = build_item_text(title, pvs, tok.sep_token)
+            enc = encode_two_tower_item(tok, text, max_length)
+            feats[f"input_ids_{i}"].append(enc["input_ids"])
+            feats[f"attention_mask_{i}"].append(enc["attention_mask"])
+            feats[f"token_type_ids_{i}"].append(enc["token_type_ids"])
+        feats["labels"].append(int(label))
+        meta["src_item_id"].append(src_item_id)
+        meta["tgt_item_id"].append(tgt_item_id)
+    arrays = {k: np.asarray(v, dtype=np.int32) for k, v in feats.items()}
+    return ArrayDataset(arrays, meta)
+
+
+def rows_to_pkgm_dataset(rows, tok, kg_ent, kg_rel, max_seq_len: int,
+                         max_pvs: int, classification_method: str = "cls"
+                         ) -> ArrayDataset:
+    feats = {"input_ids": [], "attention_mask": [], "token_type_ids": [],
+             "position_ids": [], "labels": []}
+    meta = {"src_item_id": [], "tgt_item_id": []}
+    for row in rows:
+        enc = encode_pkgm_one_tower(tok, kg_ent, kg_rel, row, max_seq_len,
+                                    max_pvs, classification_method)
+        for k in feats:
+            feats[k].append(enc[k])
+        meta["src_item_id"].append(row[1])
+        meta["tgt_item_id"].append(row[5])
+    arrays = {k: np.asarray(v, dtype=np.int32) for k, v in feats.items()}
+    return ArrayDataset(arrays, meta)
+
+
+def load_kg_tokenizers(entity2id_path: str, relation2id_path: str
+                       ) -> Tuple[Dict[str, int], Dict[str, int]]:
+    """Read ``entity2id.txt``/``relation2id.txt`` — plain ``name\\tid`` rows,
+    no count header (finetune_text.py:153-172, data_prepare.py:727-735)."""
+
+    def read(path):
+        d = {}
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip("\n")
+                if not line.strip():
+                    continue
+                name, idx = line.rsplit("\t", 1)
+                d[name] = int(idx)
+        return d
+
+    return read(entity2id_path), read(relation2id_path)

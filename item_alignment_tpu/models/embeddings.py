@@ -138,8 +138,8 @@ class PKGMEmbeddings(nn.Module):
     def __call__(
         self,
         input_ids: jax.Array,
-        token_type_ids: jax.Array,
-        position_ids: jax.Array,
+        token_type_ids: Optional[jax.Array] = None,
+        position_ids: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
         cfg = self.config
@@ -150,6 +150,12 @@ class PKGMEmbeddings(nn.Module):
             embeds = jnp.concatenate((src, tgt), axis=1)
         else:
             embeds = self._split_item(input_ids)
+        B, L, _ = embeds.shape
+        if position_ids is None:
+            # dataset emits explicit 0..L-1 positions (data.py:347,415)
+            position_ids = jnp.tile(jnp.arange(L, dtype=jnp.int32)[None, :], (B, 1))
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros((B, L), jnp.int32)
         return self.post(embeds, token_type_ids, position_ids, deterministic)
 
 

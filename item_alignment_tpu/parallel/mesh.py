@@ -1,0 +1,34 @@
+"""Device-mesh construction.
+
+The reference is single-process single-GPU (SURVEY.md §5.8); parallelism
+here is a new TPU-native design: a ``jax.sharding.Mesh`` over ICI with
+axes ``("data", "fsdp", "tensor")`` — DP baseline, optional ZeRO-style
+parameter sharding, reserved tensor-parallel axis.  XLA inserts all
+collectives (psum for DP grads, all-gathers for fsdp params).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from item_alignment_tpu.config import MeshConfig
+
+AXIS_DATA = "data"
+AXIS_FSDP = "fsdp"
+AXIS_TENSOR = "tensor"
+AXES = (AXIS_DATA, AXIS_FSDP, AXIS_TENSOR)
+
+
+def create_mesh(
+    config: Optional[MeshConfig] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    config = config or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    data, fsdp, tensor = config.axis_sizes(len(devices))
+    arr = np.array(devices).reshape(data, fsdp, tensor)
+    return Mesh(arr, AXES)

@@ -3,7 +3,10 @@ without TPU hardware (the standard JAX recipe, see SURVEY.md §4)."""
 
 import os
 
+# NB: JAX_PLATFORMS is ignored by this environment's TPU plugin;
+# JAX_PLATFORM_NAME is honored.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
