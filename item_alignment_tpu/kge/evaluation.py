@@ -1,0 +1,161 @@
+"""Link-prediction / relation-prediction / triplet-classification evaluation.
+
+Equivalents of torchkge ``evaluation.py:16-530``:
+
+- LinkPredictionEvaluator: raw + filtered mean rank / MRR / hit@k by scoring
+  ALL entity candidates per test triple.  On TPU this is a batched matmul
+  over the entity table (``KGEModel.scores_all_*``) instead of the
+  reference's per-batch expand loop (evaluation.py:286-300).
+- RelationPredictionEvaluator: ranks all relations per triple.
+- TripletClassificationEvaluator: per-relation score thresholds chosen on a
+  validation set, accuracy on test (evaluation.py:428-530).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from item_alignment_tpu.kge.graph import KnowledgeGraph
+from item_alignment_tpu.kge.models import KGEModel
+
+
+def _ranks_from_scores(scores: np.ndarray, true_idx: np.ndarray) -> np.ndarray:
+    """rank = 1 + #candidates with strictly higher score."""
+    true_scores = scores[np.arange(len(true_idx)), true_idx]
+    return 1 + (scores > true_scores[:, None]).sum(axis=1)
+
+
+class LinkPredictionEvaluator:
+    def __init__(self, model: KGEModel, params, kg_test: KnowledgeGraph,
+                 kg_filter: Optional[Tuple[KnowledgeGraph, ...]] = None,
+                 batch_size: int = 128):
+        self.model = model
+        self.params = params
+        self.kg = kg_test
+        self.batch_size = batch_size
+        filters = kg_filter if kg_filter is not None else (kg_test,)
+        self.true_tails = kg_test.dict_of_tails(*[k for k in filters if k is not kg_test])
+        self.true_heads = kg_test.dict_of_heads(*[k for k in filters if k is not kg_test])
+        self._tails_fn = jax.jit(model.scores_all_tails)
+        self._heads_fn = jax.jit(model.scores_all_heads)
+        self.ranks_t = self.ranks_h = None
+        self.filt_ranks_t = self.filt_ranks_h = None
+
+    def evaluate(self) -> "LinkPredictionEvaluator":
+        kg, bs = self.kg, self.batch_size
+        ranks_t, ranks_h, f_ranks_t, f_ranks_h = [], [], [], []
+        for s in range(0, kg.n_facts, bs):
+            h = kg.head_idx[s:s + bs]
+            r = kg.relations[s:s + bs]
+            t = kg.tail_idx[s:s + bs]
+            st = np.asarray(self._tails_fn(self.params, jnp.asarray(h), jnp.asarray(r)))
+            sh = np.asarray(self._heads_fn(self.params, jnp.asarray(t), jnp.asarray(r)))
+            ranks_t.append(_ranks_from_scores(st, t))
+            ranks_h.append(_ranks_from_scores(sh, h))
+            # filtered: mask all known-true candidates except the target
+            for i in range(len(h)):
+                for known in self.true_tails.get((int(h[i]), int(r[i])), ()):
+                    if known != int(t[i]):
+                        st[i, known] = -np.inf
+                for known in self.true_heads.get((int(t[i]), int(r[i])), ()):
+                    if known != int(h[i]):
+                        sh[i, known] = -np.inf
+            f_ranks_t.append(_ranks_from_scores(st, t))
+            f_ranks_h.append(_ranks_from_scores(sh, h))
+        self.ranks_t = np.concatenate(ranks_t)
+        self.ranks_h = np.concatenate(ranks_h)
+        self.filt_ranks_t = np.concatenate(f_ranks_t)
+        self.filt_ranks_h = np.concatenate(f_ranks_h)
+        return self
+
+    def mean_rank(self) -> Tuple[float, float]:
+        raw = float(np.mean(np.concatenate([self.ranks_t, self.ranks_h])))
+        filt = float(np.mean(np.concatenate([self.filt_ranks_t, self.filt_ranks_h])))
+        return raw, filt
+
+    def mrr(self) -> Tuple[float, float]:
+        raw = float(np.mean(1.0 / np.concatenate([self.ranks_t, self.ranks_h])))
+        filt = float(np.mean(1.0 / np.concatenate([self.filt_ranks_t,
+                                                   self.filt_ranks_h])))
+        return raw, filt
+
+    def hit_at_k(self, k: int = 10) -> Tuple[float, float]:
+        raw = float(np.mean(np.concatenate([self.ranks_t, self.ranks_h]) <= k))
+        filt = float(np.mean(np.concatenate([self.filt_ranks_t,
+                                             self.filt_ranks_h]) <= k))
+        return raw, filt
+
+
+class RelationPredictionEvaluator:
+    """Rank all relations for each test triple (evaluation.py:16-200)."""
+
+    def __init__(self, model: KGEModel, params, kg_test: KnowledgeGraph):
+        self.model = model
+        self.params = params
+        self.kg = kg_test
+
+    def evaluate(self, batch_size: int = 256) -> Dict[str, float]:
+        kg = self.kg
+        n_rel = kg.n_rel
+        ranks = []
+        for s in range(0, kg.n_facts, batch_size):
+            h = kg.head_idx[s:s + batch_size]
+            r = kg.relations[s:s + batch_size]
+            t = kg.tail_idx[s:s + batch_size]
+            B = len(h)
+            hh = np.repeat(h, n_rel)
+            tt = np.repeat(t, n_rel)
+            rr = np.tile(np.arange(n_rel), B)
+            scores = np.asarray(self.model.score(
+                self.params, jnp.asarray(hh), jnp.asarray(rr),
+                jnp.asarray(tt))).reshape(B, n_rel)
+            ranks.append(_ranks_from_scores(scores, r))
+        ranks = np.concatenate(ranks)
+        return {"mean_rank": float(ranks.mean()),
+                "mrr": float((1.0 / ranks).mean()),
+                "hit@1": float((ranks <= 1).mean())}
+
+
+class TripletClassificationEvaluator:
+    """Per-relation decision thresholds from validation, accuracy on test
+    (evaluation.py:428-530)."""
+
+    def __init__(self, model: KGEModel, params, kg_val: KnowledgeGraph,
+                 kg_test: KnowledgeGraph, seed: int = 0):
+        self.model = model
+        self.params = params
+        self.kg_val = kg_val
+        self.kg_test = kg_test
+        self.rng = np.random.RandomState(seed)
+        self.thresholds: Optional[np.ndarray] = None
+
+    def _scores(self, kg: KnowledgeGraph, corrupt: bool) -> np.ndarray:
+        h, r, t = kg.head_idx.copy(), kg.relations, kg.tail_idx.copy()
+        if corrupt:
+            mask = self.rng.rand(len(h)) < 0.5
+            rand = self.rng.randint(0, kg.n_ent, len(h))
+            h = np.where(mask, rand, h)
+            t = np.where(mask, t, rand)
+        return np.asarray(self.model.score(
+            self.params, jnp.asarray(h), jnp.asarray(r), jnp.asarray(t)))
+
+    def evaluate_thresholds(self) -> None:
+        neg_scores = self._scores(self.kg_val, corrupt=True)
+        self.thresholds = np.full(self.kg_val.n_rel, -np.inf)
+        for rel in range(self.kg_val.n_rel):
+            m = self.kg_val.relations == rel
+            if m.any():
+                self.thresholds[rel] = neg_scores[m].max()
+
+    def accuracy(self) -> float:
+        if self.thresholds is None:
+            self.evaluate_thresholds()
+        pos = self._scores(self.kg_test, corrupt=False)
+        neg = self._scores(self.kg_test, corrupt=True)
+        thr = self.thresholds[self.kg_test.relations]
+        correct = (pos > thr).sum() + (neg <= thr).sum()
+        return float(correct) / (2 * self.kg_test.n_facts)

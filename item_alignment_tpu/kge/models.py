@@ -1,0 +1,286 @@
+"""Knowledge-graph embedding models (functional JAX).
+
+Equivalents of the vendored torchkge zoo — translational
+(``torchkge/models/translation.py``), bilinear
+(``torchkge/models/bilinear.py``) and ConvKB
+(``torchkge/models/deep.py``) — re-designed TPU-first:
+
+- params are plain pytrees; ``score(params, h, r, t)`` is fully vectorized
+- all-candidate scoring for link prediction is expressed as matmuls over
+  the entity table (MXU path): L2 translational distances use the
+  ``||x-e||^2 = ||x||^2 - 2 x.e + ||e||^2`` expansion instead of a
+  [B, n_ent, dim] broadcast.
+
+Scores follow torchkge conventions (higher = more plausible):
+- TransE:  -d(h + r, t)          (d = L1 norm or squared-L2, translation.py:132+)
+- PKGM:    -d(h + r, t) - d(Mh, r)   with L2-normalized entity lookups
+           (translation.py:70-85)
+- TransH/R/D: projected translations
+- DistMult: <h, r, t>;  RESCAL: h^T W_r t;  ComplEx / Analogy / HolE as in
+  Trouillon/Liu/Nickel et al.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def xavier_uniform(rng, shape):
+    fan_in, fan_out = shape[-2], shape[-1]
+    limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(rng, shape, jnp.float32, -limit, limit)
+
+
+def l2_normalize(x, axis=-1, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+def dissimilarity(a, b, kind: str = "L2"):
+    """torchkge dissimilarities (utils/dissimilarities.py): L1 = ||a-b||_1,
+    L2 = ||a-b||_2^2 (squared)."""
+    if kind == "L1":
+        return jnp.sum(jnp.abs(a - b), axis=-1)
+    return jnp.sum((a - b) ** 2, axis=-1)
+
+
+@dataclasses.dataclass
+class KGEModel:
+    """A KGE model = init/score/normalize triple + candidate scorers."""
+
+    name: str
+    n_ent: int
+    n_rel: int
+    emb_dim: int
+    dissimilarity_type: str = "L2"
+
+    # ------------------------------------------------------------- init
+    def init_params(self, rng) -> Dict[str, Any]:
+        keys = jax.random.split(rng, 8)
+        p = {"ent_emb": l2_normalize(xavier_uniform(keys[0], (self.n_ent, self.emb_dim))),
+             "rel_emb": xavier_uniform(keys[1], (self.n_rel, self.emb_dim))}
+        d = self.emb_dim
+        if self.name == "pkgm":
+            p["rel_emb"] = l2_normalize(p["rel_emb"])
+            p["proj_mat"] = xavier_uniform(keys[2], (d, d))
+        elif self.name == "transh":
+            p["norm_vect"] = l2_normalize(xavier_uniform(keys[2], (self.n_rel, d)))
+        elif self.name == "transr":
+            p["proj_mat"] = xavier_uniform(keys[2], (self.n_rel, d, d))
+        elif self.name == "transd":
+            p["ent_proj"] = xavier_uniform(keys[2], (self.n_ent, d))
+            p["rel_proj"] = xavier_uniform(keys[3], (self.n_rel, d))
+        elif self.name == "rescal":
+            p["rel_mat"] = xavier_uniform(keys[2], (self.n_rel, d, d))
+            del p["rel_emb"]
+        elif self.name in ("complex", "analogy"):
+            # real/imag halves stored as separate tables
+            p["ent_emb_im"] = xavier_uniform(keys[2], (self.n_ent, d))
+            p["rel_emb_im"] = xavier_uniform(keys[3], (self.n_rel, d))
+            if self.name == "analogy":
+                # scalar (DistMult-like) component
+                p["ent_emb_s"] = xavier_uniform(keys[4], (self.n_ent, d))
+                p["rel_emb_s"] = xavier_uniform(keys[5], (self.n_rel, d))
+        elif self.name == "convkb":
+            n_filters = 32
+            p["conv_w"] = jax.random.normal(keys[2], (n_filters, 3)) * 0.1
+            p["conv_b"] = jnp.zeros((n_filters,))
+            p["fc_w"] = xavier_uniform(keys[3], (d * n_filters, 1))
+        return p
+
+    # ------------------------------------------------------------ score
+    def score(self, params: Dict[str, Any], h_idx, r_idx, t_idx) -> jax.Array:
+        name, dt = self.name, self.dissimilarity_type
+        E, R = params["ent_emb"], params.get("rel_emb")
+        if name == "transe":
+            h = l2_normalize(E[h_idx])
+            t = l2_normalize(E[t_idx])
+            return -dissimilarity(h + R[r_idx], t, dt)
+        if name == "pkgm":
+            h = l2_normalize(E[h_idx])
+            t = l2_normalize(E[t_idx])
+            r = R[r_idx]
+            hp = h @ params["proj_mat"].T
+            return -dissimilarity(h + r, t, dt) - dissimilarity(hp, r, dt)
+        if name == "transh":
+            w = l2_normalize(params["norm_vect"][r_idx])
+            h = l2_normalize(E[h_idx])
+            t = l2_normalize(E[t_idx])
+            h = h - jnp.sum(h * w, -1, keepdims=True) * w
+            t = t - jnp.sum(t * w, -1, keepdims=True) * w
+            return -dissimilarity(h + R[r_idx], t, dt)
+        if name == "transr":
+            M = params["proj_mat"][r_idx]  # [B, d, d]
+            h = jnp.einsum("bd,bde->be", l2_normalize(E[h_idx]), M)
+            t = jnp.einsum("bd,bde->be", l2_normalize(E[t_idx]), M)
+            return -dissimilarity(l2_normalize(h) + R[r_idx], l2_normalize(t), dt)
+        if name == "transd":
+            hp, tp = params["ent_proj"][h_idx], params["ent_proj"][t_idx]
+            rp = params["rel_proj"][r_idx]
+            h = l2_normalize(E[h_idx])
+            t = l2_normalize(E[t_idx])
+            h = l2_normalize(h + jnp.sum(h * hp, -1, keepdims=True) * rp)
+            t = l2_normalize(t + jnp.sum(t * tp, -1, keepdims=True) * rp)
+            return -dissimilarity(h + R[r_idx], t, dt)
+        if name == "distmult":
+            return jnp.sum(E[h_idx] * R[r_idx] * E[t_idx], -1)
+        if name == "rescal":
+            W = params["rel_mat"][r_idx]
+            return jnp.einsum("bd,bde,be->b", E[h_idx], W, E[t_idx])
+        if name == "hole":
+            # circular correlation via rFFT (Nickel et al. 2016)
+            fh = jnp.fft.rfft(E[h_idx], axis=-1)
+            ft = jnp.fft.rfft(E[t_idx], axis=-1)
+            corr = jnp.fft.irfft(jnp.conj(fh) * ft, n=self.emb_dim, axis=-1)
+            return jnp.sum(R[r_idx] * corr, -1)
+        if name == "complex":
+            hr, hi = E[h_idx], params["ent_emb_im"][h_idx]
+            tr, ti = E[t_idx], params["ent_emb_im"][t_idx]
+            rr, ri = R[r_idx], params["rel_emb_im"][r_idx]
+            return jnp.sum(hr * rr * tr + hi * rr * ti
+                           + hr * ri * ti - hi * ri * tr, -1)
+        if name == "analogy":
+            s = jnp.sum(params["ent_emb_s"][h_idx] * params["rel_emb_s"][r_idx]
+                        * params["ent_emb_s"][t_idx], -1)
+            hr, hi = E[h_idx], params["ent_emb_im"][h_idx]
+            tr, ti = E[t_idx], params["ent_emb_im"][t_idx]
+            rr, ri = R[r_idx], params["rel_emb_im"][r_idx]
+            c = jnp.sum(hr * rr * tr + hi * rr * ti
+                        + hr * ri * ti - hi * ri * tr, -1)
+            return s + c
+        if name == "convkb":
+            x = jnp.stack([E[h_idx], R[r_idx], E[t_idx]], axis=-1)  # [B,d,3]
+            conv = jnp.einsum("bdk,fk->bdf", x, params["conv_w"]) + params["conv_b"]
+            feat = jax.nn.relu(conv).reshape(x.shape[0], -1)
+            return (feat @ params["fc_w"])[:, 0]
+        raise ValueError(f"unknown KGE model {name}")
+
+    def forward(self, params, h, t, r, nh, nt):
+        """(pos_scores, neg_scores) with n_neg repeat semantics
+        (``models/interfaces.py:70-80``): positives are tiled to match."""
+        pos = self.score(params, h, r, t)
+        neg = self.score(params, nh, r if nh.shape == r.shape else
+                         jnp.tile(r, nh.shape[0] // r.shape[0]), nt)
+        if neg.shape[0] != pos.shape[0]:
+            pos = jnp.tile(pos, neg.shape[0] // pos.shape[0])
+        return pos, neg
+
+    # ------------------------------------------------- normalization
+    def normalize_parameters(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        p = dict(params)
+        if self.name in ("transe", "pkgm", "transh", "transr", "transd"):
+            p["ent_emb"] = l2_normalize(p["ent_emb"])
+        if self.name == "transh":
+            p["norm_vect"] = l2_normalize(p["norm_vect"])
+        return p
+
+    def get_embeddings(self, params) -> Tuple[jax.Array, Optional[jax.Array]]:
+        p = self.normalize_parameters(params)
+        return p["ent_emb"], p.get("rel_emb")
+
+    # --------------------------------------- all-candidate LP scoring
+    def scores_all_tails(self, params, h_idx, r_idx) -> jax.Array:
+        """[B, n_ent] scores of (h, r, candidate-tail) — matmul-expanded."""
+        name, dt = self.name, self.dissimilarity_type
+        E = params["ent_emb"]
+        if name in ("transe", "pkgm", "transh", "transd"):
+            # effective query x with ||x - t|| scoring
+            if name in ("transe", "pkgm"):
+                x = l2_normalize(E[h_idx]) + params["rel_emb"][r_idx]
+                cand = E
+            elif name == "transh":
+                w = l2_normalize(params["norm_vect"][r_idx])
+                h = l2_normalize(E[h_idx])
+                x = h - jnp.sum(h * w, -1, keepdims=True) * w + params["rel_emb"][r_idx]
+                # candidates also projected per-row: fall back to chunked path
+                return self._chunked_tails(params, h_idx, r_idx)
+            else:
+                return self._chunked_tails(params, h_idx, r_idx)
+            if dt == "L2":
+                x2 = jnp.sum(x * x, -1, keepdims=True)          # [B,1]
+                e2 = jnp.sum(cand * cand, -1)[None, :]          # [1,N]
+                xe = x @ cand.T                                  # [B,N] MXU
+                scores = -(x2 - 2.0 * xe + e2)
+            else:
+                return self._chunked_tails(params, h_idx, r_idx)
+            if name == "pkgm":
+                h = l2_normalize(E[h_idx])
+                rel_term = dissimilarity(h @ params["proj_mat"].T,
+                                         params["rel_emb"][r_idx], dt)
+                scores = scores - rel_term[:, None]
+            return scores
+        if name == "distmult":
+            return (E[h_idx] * params["rel_emb"][r_idx]) @ E.T
+        if name == "rescal":
+            hW = jnp.einsum("bd,bde->be", E[h_idx], params["rel_mat"][r_idx])
+            return hW @ E.T
+        if name == "complex":
+            hr, hi = E[h_idx], params["ent_emb_im"][h_idx]
+            rr, ri = params["rel_emb"][r_idx], params["rel_emb_im"][r_idx]
+            Er, Ei = E, params["ent_emb_im"]
+            return (hr * rr - hi * ri) @ Er.T + (hr * ri + hi * rr) @ Ei.T
+        return self._chunked_tails(params, h_idx, r_idx)
+
+    def scores_all_heads(self, params, t_idx, r_idx) -> jax.Array:
+        name, dt = self.name, self.dissimilarity_type
+        E = params["ent_emb"]
+        if name == "transe":
+            x = l2_normalize(E[t_idx]) - params["rel_emb"][r_idx]
+            if dt == "L2":
+                x2 = jnp.sum(x * x, -1, keepdims=True)
+                e2 = jnp.sum(E * E, -1)[None, :]
+                return -(x2 - 2.0 * (x @ E.T) + e2)
+        if name == "distmult":
+            return (E[t_idx] * params["rel_emb"][r_idx]) @ E.T
+        if name == "complex":
+            tr, ti = E[t_idx], params["ent_emb_im"][t_idx]
+            rr, ri = params["rel_emb"][r_idx], params["rel_emb_im"][r_idx]
+            return (rr * tr + ri * ti) @ E.T + (rr * ti - ri * tr) @ params["ent_emb_im"].T
+        return self._chunked_heads(params, t_idx, r_idx)
+
+    # chunked fallbacks (exact, O(B * n_ent) memory per chunk)
+    def _chunked_tails(self, params, h_idx, r_idx, chunk: int = 4096):
+        n = self.n_ent
+        pad = (-n) % chunk
+        cands = jnp.arange(n + pad) % n
+
+        def body(c):
+            B = h_idx.shape[0]
+            t = jnp.broadcast_to(c[None, :], (B, c.shape[0]))
+            hh = jnp.broadcast_to(h_idx[:, None], t.shape)
+            rr = jnp.broadcast_to(r_idx[:, None], t.shape)
+            return self.score(params, hh.reshape(-1), rr.reshape(-1),
+                              t.reshape(-1)).reshape(B, -1)
+
+        chunks = [body(cands[i:i + chunk]) for i in range(0, n + pad, chunk)]
+        return jnp.concatenate(chunks, axis=1)[:, :n]
+
+    def _chunked_heads(self, params, t_idx, r_idx, chunk: int = 4096):
+        n = self.n_ent
+        pad = (-n) % chunk
+        cands = jnp.arange(n + pad) % n
+
+        def body(c):
+            B = t_idx.shape[0]
+            h = jnp.broadcast_to(c[None, :], (B, c.shape[0]))
+            tt = jnp.broadcast_to(t_idx[:, None], h.shape)
+            rr = jnp.broadcast_to(r_idx[:, None], h.shape)
+            return self.score(params, h.reshape(-1), rr.reshape(-1),
+                              tt.reshape(-1)).reshape(B, -1)
+
+        chunks = [body(cands[i:i + chunk]) for i in range(0, n + pad, chunk)]
+        return jnp.concatenate(chunks, axis=1)[:, :n]
+
+
+def make_kge_model(name: str, n_ent: int, n_rel: int, emb_dim: int,
+                   dissimilarity_type: str = "L2") -> KGEModel:
+    name = name.lower()
+    known = ("transe", "pkgm", "transh", "transr", "transd", "distmult",
+             "rescal", "hole", "complex", "analogy", "convkb")
+    if name not in known:
+        raise ValueError(f"unknown KGE model {name}; known: {known}")
+    return KGEModel(name, n_ent, n_rel, emb_dim, dissimilarity_type)
