@@ -1,0 +1,89 @@
+"""Adversarial embedding-noise training (FREE / PGD / MIX).
+
+Functional re-design of the reference's delta bookkeeping
+(``finetune_bert.py:425-512``): FGSM-style sign updates on persistent
+embedding-space deltas, clamped to an epsilon ball.
+
+- FREE:  delta <- clamp(delta + eps * sign(grad), +-eps)
+- PGD:   delta <- clamp(U(-eps, eps) + alpha * sign(grad), +-eps)
+- MIX:   per step draw u~U(0,1): u < p_free -> FREE, u < p_pgd -> PGD,
+         else disable noise for that step (reference: 0.15 / 0.45)
+
+The noise grads come for free from the same backward pass as the parameter
+grads (``jax.grad`` over (params, noise)).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def free_update(delta: jax.Array, grad: jax.Array, epsilon: float) -> jax.Array:
+    return jnp.clip(delta + epsilon * jnp.sign(grad), -epsilon, epsilon)
+
+
+def pgd_update(rng: jax.Array, delta: jax.Array, grad: jax.Array,
+               epsilon: float, alpha: float) -> jax.Array:
+    restart = jax.random.uniform(rng, delta.shape, minval=-epsilon,
+                                 maxval=epsilon)
+    return jnp.clip(restart + alpha * jnp.sign(grad), -epsilon, epsilon)
+
+
+def mix_update(rng: jax.Array, delta: jax.Array, grad: jax.Array,
+               epsilon: float, alpha: float,
+               p_free: float = 0.15, p_pgd: float = 0.45
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Returns (new_delta, active) where active=0 disables noise next step."""
+    k1, k2 = jax.random.split(rng)
+    u = jax.random.uniform(k1)
+    new_delta = jax.lax.cond(
+        u < p_free,
+        lambda: free_update(delta, grad, epsilon),
+        lambda: jax.lax.cond(
+            u < p_pgd,
+            lambda: pgd_update(k2, delta, grad, epsilon, alpha),
+            lambda: delta))
+    active = (u < p_pgd).astype(jnp.float32)
+    return new_delta, active
+
+
+def make_adversarial_step(loss_fn: Callable, tx, mode: str = "FREE",
+                          epsilon: float = 1e-2, alpha: float = 1e-2):
+    """Build a jitted step: (params, opt_state, deltas, rng, batch) ->
+    (params, opt_state, deltas, loss).
+
+    ``loss_fn(params, deltas, batch) -> scalar``; ``deltas`` is a pytree of
+    noise arrays (e.g. {"pvs": [B,512,H], "title": [B,150,H]}).
+    """
+    import optax
+
+    def step(params, opt_state, deltas, rng, batch):
+        (loss, _), grads = jax.value_and_grad(
+            lambda p, d: (loss_fn(p, d, batch), 0.0), argnums=(0, 1),
+            has_aux=True)(params, deltas)
+        pgrads, dgrads = grads
+        updates, opt_state = tx.update(pgrads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        keys = jax.random.split(rng, len(jax.tree_util.tree_leaves(deltas)))
+        key_tree = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(deltas), list(keys))
+        if mode == "FREE":
+            deltas = jax.tree_util.tree_map(
+                lambda d, g: free_update(d, g, epsilon), deltas, dgrads)
+        elif mode == "PGD":
+            deltas = jax.tree_util.tree_map(
+                lambda k, d, g: pgd_update(k, d, g, epsilon, alpha),
+                key_tree, deltas, dgrads)
+        elif mode == "MIX":
+            deltas = jax.tree_util.tree_map(
+                lambda k, d, g: mix_update(k, d, g, epsilon, alpha)[0],
+                key_tree, deltas, dgrads)
+        else:
+            raise ValueError(f"unknown adversarial mode {mode}")
+        return params, opt_state, deltas, loss
+
+    return jax.jit(step)

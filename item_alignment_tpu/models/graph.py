@@ -1,0 +1,93 @@
+"""Graph model family: GCNII over the item/attribute graph.
+
+Re-design of reference ``src/models/graph.py``:
+
+- ``GCNII``       <- GCN (graph.py:12-44): Linear(feature_dim -> hidden) +
+  L x GCN2Conv(alpha, theta, shared_weights=True, normalize=False) with
+  dropout; adjacency comes pre-normalized (the reference loads ``adj_t.pt``)
+- ``GCNTwoTower`` <- graph.py:47-132, with the per-pair python loop replaced
+  by one gather + batched head (identical math, jit-friendly)
+
+GCN2Conv layer l (Chen et al. 2020, PyG semantics with shared weights):
+    h   = A_hat @ x
+    s   = (1 - alpha) * h + alpha * x0
+    out = (1 - beta_l) * s + beta_l * (s @ W_l),  beta_l = log(theta/l + 1)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from item_alignment_tpu.config import ModelConfig
+from item_alignment_tpu.models.heads import TwoTowerClassificationHead
+from item_alignment_tpu.models.losses import pair_loss
+from item_alignment_tpu.models.outputs import PairClassifierOutput
+from item_alignment_tpu.ops.sparse import spmm
+
+
+class GCN2Layer(nn.Module):
+    features: int
+    alpha: float
+    beta: float
+
+    @nn.compact
+    def __call__(self, x, x0, edge_index, edge_weight):
+        n = x.shape[0]
+        h = spmm(edge_index, edge_weight, x, n)
+        support = (1.0 - self.alpha) * h + self.alpha * x0
+        w = nn.Dense(self.features, use_bias=False, name="weight")(support)
+        return (1.0 - self.beta) * support + self.beta * w
+
+
+class GCNII(nn.Module):
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, features, edge_index, edge_weight,
+                 deterministic: bool = True):
+        cfg = self.config
+        drop = nn.Dropout(cfg.hidden_dropout_prob)
+        x = drop(features, deterministic=deterministic)
+        x = x0 = jax.nn.relu(nn.Dense(cfg.gcn_hidden, name="linear")(x))
+        for layer in range(cfg.gcn_layers):
+            x = drop(x, deterministic=deterministic)
+            beta = math.log(cfg.gcn_theta / (layer + 1) + 1.0)
+            x = GCN2Layer(cfg.gcn_hidden, cfg.gcn_alpha, beta,
+                          name=f"conv_{layer}")(x, x0, edge_index, edge_weight)
+            x = jax.nn.relu(x)
+        return drop(x, deterministic=deterministic)
+
+
+class GCNTwoTower(nn.Module):
+    """Full-graph node embedding, then pair classification by indexing node
+    embeddings (one gather for the whole batch)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, features, edge_index, edge_weight, src_idx, tgt_idx,
+                 labels=None, deterministic: bool = True):
+        cfg = self.config
+        node_embeddings = GCNII(cfg, name="encoder")(
+            features, edge_index, edge_weight, deterministic)
+        src = node_embeddings[src_idx]
+        tgt = node_embeddings[tgt_idx]
+        src_embeds, tgt_embeds, logits, full_probs = TwoTowerClassificationHead(
+            dropout_rate=cfg.hidden_dropout_prob, num_labels=cfg.num_labels,
+            name="classifier")(src, tgt, deterministic)
+        # reference quirk (graph.py:96-103): embeds <- prob columns
+        src_embeds = full_probs[:, 0]
+        tgt_embeds = full_probs[:, 1]
+        probs = full_probs[:, 1]
+        loss = None
+        if labels is not None:
+            loss = pair_loss(cfg.loss_type, logits, probs, labels,
+                             src_embeds, tgt_embeds, cfg.loss_margin,
+                             cfg.num_labels)
+        return PairClassifierOutput(loss=loss, logits=logits, probs=probs,
+                                    src_embeds=src_embeds, tgt_embeds=tgt_embeds)
