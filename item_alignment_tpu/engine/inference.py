@@ -1,0 +1,86 @@
+"""High-throughput two-tower inference: the embedding-cache path.
+
+The reference's two-tower models re-encode both items for every pair.  The
+TPU-native serving design encodes each unique item ONCE into an embedding
+cache, then scores arbitrary pair lists with just the classification head —
+a gather + one small matmul per pair (SURVEY.md §6 north-star:
+>=10k pairs/sec/chip).
+
+Works with any model exposing a per-item tower + TwoTowerClassificationHead
+(RobertaTwoTower, PKGMTwoTower, TextCNNTwoTower, ImageTwoTower) and with
+vec_sim heads (pure similarity, no extra params beyond the shared dense).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TwoTowerInference:
+    """encode-once / score-many serving wrapper.
+
+    - ``encode_fn(params, batch_dict) -> [B, F]`` item embeddings
+    - ``head_fn(params, src_emb, tgt_emb) -> probs [B]``
+    """
+
+    def __init__(self, params, encode_fn: Callable, head_fn: Callable,
+                 batch_size: int = 256):
+        self.params = params
+        self._encode = jax.jit(encode_fn)
+        self._score = jax.jit(head_fn)
+        self.batch_size = batch_size
+        self.cache: Optional[jax.Array] = None
+        self.id_to_row: Dict[str, int] = {}
+
+    def build_cache(self, item_ids, batches: Iterable[Dict[str, np.ndarray]]
+                    ) -> jax.Array:
+        """Encode all items once; ``batches`` yields fixed-shape feature
+        dicts aligned with ``item_ids`` order."""
+        embs = []
+        for batch in batches:
+            embs.append(np.asarray(self._encode(self.params, batch)))
+        cache = np.concatenate(embs)[: len(item_ids)]
+        self.id_to_row = {iid: i for i, iid in enumerate(item_ids)}
+        self.cache = jnp.asarray(cache)
+        return self.cache
+
+    def score_pairs(self, src_idx: np.ndarray, tgt_idx: np.ndarray
+                    ) -> np.ndarray:
+        """Probabilities for (src, tgt) row-index pairs against the cache."""
+        assert self.cache is not None, "call build_cache first"
+        n = len(src_idx)
+        bs = self.batch_size
+        out = []
+        pad = (-n) % bs
+        src = np.concatenate([src_idx, np.zeros(pad, src_idx.dtype)])
+        tgt = np.concatenate([tgt_idx, np.zeros(pad, tgt_idx.dtype)])
+        for s in range(0, n + pad, bs):
+            se = jnp.take(self.cache, jnp.asarray(src[s:s + bs]), axis=0)
+            te = jnp.take(self.cache, jnp.asarray(tgt[s:s + bs]), axis=0)
+            out.append(np.asarray(self._score(self.params, se, te)))
+        return np.concatenate(out)[:n]
+
+    def score_pairs_by_id(self, pairs) -> np.ndarray:
+        src = np.array([self.id_to_row[a] for a, _ in pairs], np.int32)
+        tgt = np.array([self.id_to_row[b] for _, b in pairs], np.int32)
+        return self.score_pairs(src, tgt)
+
+
+def two_tower_head_fn(model, config):
+    """Build (encode_fn, head_fn) for a TwoTower model whose tower is the
+    ``__call__`` path and whose head is ``classifier`` (concat + out_proj).
+
+    The head re-uses the trained params: probs = softmax([src;tgt] W + b)[:,1].
+    """
+
+    def head_fn(params, src_emb, tgt_emb):
+        head = params["params"]["classifier"]["out_proj"]
+        logits = jnp.concatenate((src_emb, tgt_emb), -1) @ head["kernel"] \
+            + head["bias"]
+        return jax.nn.softmax(logits, axis=-1)[:, 1]
+
+    return head_fn

@@ -21,18 +21,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
     # blocks: q/k/v [1, S, H], bias [1, 1, S] (key mask row), o [1, S, H]
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # keep matmul inputs in their native (bf16) dtype so the MXU runs at
+    # full rate; accumulate in fp32 via preferred_element_type
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [S, S]
+    )  # [S, S] fp32
     scores = scores * scale + bias_ref[0].astype(jnp.float32)  # bias bcast [1,S]
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     o_ref[0] = (o / denom).astype(o_ref.dtype)
 
