@@ -495,11 +495,564 @@ def cmd_pred_text(argv: List[str]) -> int:
     return 0
 
 
+def cmd_finetune_image(argv: List[str]) -> int:
+    """Image two-tower finetune over npz image shards (finetune_image.py)."""
+    p = argparse.ArgumentParser(prog="ia-tpu finetune-image")
+    _common_train_flags(p)
+    p.add_argument("--shards", nargs="+", required=True,
+                   help="npz shards from write_image_shards")
+    p.add_argument("--image_size", type=int, default=288)
+    args = p.parse_args(argv)
+
+    from item_alignment_tpu.data.datasets import ArrayDataset
+    from item_alignment_tpu.data.images import eval_transform, read_image_shards
+    from item_alignment_tpu.engine.train import Trainer
+    from item_alignment_tpu.models import build_model
+
+    imgs1, imgs2, labels, pair_ids = [], [], [], []
+    for shard in read_image_shards(args.shards):
+        for i in range(len(shard["labels"])):
+            imgs1.append(eval_transform(shard["images_1"][i], args.image_size))
+            imgs2.append(eval_transform(shard["images_2"][i], args.image_size))
+            labels.append(int(shard["labels"][i]))
+            pair_ids.append(str(shard["pair_ids"][i]))
+    ds = ArrayDataset({"images_1": np.stack(imgs1).astype(np.float32),
+                       "images_2": np.stack(imgs2).astype(np.float32),
+                       "labels": np.asarray(labels, np.int32)},
+                      meta={"src_item_id": pair_ids,
+                            "tgt_item_id": pair_ids})
+    cfg = _model_config(args, image_model_name=args.model_name,
+                        image_size=args.image_size,
+                        interaction_type="two_tower")
+    out_dir = os.path.join(args.output_dir, run_dir_name(args))
+    _dump_hyperparameters(args, out_dir)
+    trainer = Trainer(build_model(cfg),
+                      _train_config(args, ds.num_batches(args.train_batch_size)))
+    if args.do_train:
+        result = trainer.fit(ds, ds if args.do_eval else None)
+        print(json.dumps({"best": result["best"]}))
+    if args.do_pred:
+        if trainer.state is None:
+            trainer.setup(next(ds.batches(args.eval_batch_size))[0])
+        path = os.path.join(out_dir,
+                            f"deepAI_result_threshold={args.threshold}.jsonl")
+        trainer.predict_jsonl(ds, path, args.threshold)
+        print(json.dumps({"prediction_file": path}))
+    return 0
+
+
+def cmd_finetune_multimodal(argv: List[str]) -> int:
+    """roberta_image one-tower finetune on 9-col TSV with image-embedding
+    columns (finetune_multimodal.py)."""
+    p = argparse.ArgumentParser(prog="ia-tpu finetune-multimodal")
+    _common_train_flags(p)
+    p.add_argument("--vocab_path", required=True)
+    p.add_argument("--train_file", default="finetune_train_train.tsv")
+    p.add_argument("--valid_file", default="finetune_train_valid.tsv")
+    p.add_argument("--image_hidden_size", type=int, default=3072)
+    p.add_argument("--ensemble", default="begin",
+                   choices=["begin", "end", "sum", "cross_attn"])
+    args = p.parse_args(argv)
+
+    from item_alignment_tpu.data.native_loader import read_tsv_fast
+    from item_alignment_tpu.data.tokenization import (
+        load_text_tokenizer,
+        rows_to_image_one_tower_dataset,
+    )
+    from item_alignment_tpu.engine.train import Trainer
+    from item_alignment_tpu.models import build_model
+
+    tok = load_text_tokenizer(args.vocab_path)
+    cfg = _model_config(args, vocab_size=len(tok), ensemble=args.ensemble,
+                        image_hidden_size=args.image_hidden_size)
+
+    def build_ds(fname):
+        path = os.path.join(args.data_dir, fname)
+        if not os.path.exists(path):
+            return None
+        rows = read_tsv_fast(path)
+        return rows_to_image_one_tower_dataset(
+            rows, tok, cfg.max_seq_len, cfg.max_seq_len_pv,
+            args.image_hidden_size)
+
+    train_ds = build_ds(args.train_file)
+    valid_ds = build_ds(args.valid_file)
+    out_dir = os.path.join(args.output_dir, run_dir_name(args))
+    _dump_hyperparameters(args, out_dir)
+    steps = train_ds.num_batches(args.train_batch_size) if train_ds else 1
+    trainer = Trainer(build_model(cfg), _train_config(args, steps))
+    if args.do_train:
+        result = trainer.fit(train_ds, valid_ds)
+        print(json.dumps({"best": result["best"]}))
+    if args.do_pred and valid_ds is not None:
+        if trainer.state is None:
+            trainer.setup(next(valid_ds.batches(args.eval_batch_size))[0])
+        path = os.path.join(out_dir,
+                            f"deepAI_result_threshold={args.threshold}.jsonl")
+        trainer.predict_jsonl(valid_ds, path, args.threshold)
+        print(json.dumps({"prediction_file": path}))
+    return 0
+
+
+def cmd_finetune_graph(argv: List[str]) -> int:
+    """Full-graph GCNII finetune (finetune_graph.py): loads the node
+    feature matrix + normalized edge list, full-batch step per pair batch."""
+    p = argparse.ArgumentParser(prog="ia-tpu finetune-graph")
+    p.add_argument("--feature_matrix", required=True, help=".npy [N, F]")
+    p.add_argument("--edges", required=True,
+                   help=".npz with edge_index [2,E] and edge_weight [E]")
+    p.add_argument("--train_pairs", required=True,
+                   help="jsonl rows {src_idx, tgt_idx, item_label}")
+    p.add_argument("--valid_pairs", default=None)
+    p.add_argument("--output_dir", default="output/gcn")
+    p.add_argument("--gcn_hidden", type=int, default=128)
+    p.add_argument("--gcn_layers", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--learning_rate", type=float, default=1e-2)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--threshold", type=float, default=0.5)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from item_alignment_tpu.engine import metrics as M
+    from item_alignment_tpu.models.graph import GCNTwoTower
+
+    feats = np.load(args.feature_matrix)
+    ez = np.load(args.edges)
+    ei, ew = jnp.asarray(ez["edge_index"]), jnp.asarray(ez["edge_weight"])
+    feats_j = jnp.asarray(feats, jnp.float32)
+
+    def load_pairs(path):
+        src, tgt, lab = [], [], []
+        with open(path, encoding="utf-8") as r:
+            for line in r:
+                d = json.loads(line)
+                src.append(int(d["src_idx"]))
+                tgt.append(int(d["tgt_idx"]))
+                lab.append(int(d.get("item_label", 0)))
+        return (np.asarray(src, np.int32), np.asarray(tgt, np.int32),
+                np.asarray(lab, np.int32))
+
+    tr_src, tr_tgt, tr_lab = load_pairs(args.train_pairs)
+    cfg = ModelConfig(model_name="gcn", gcn_hidden=args.gcn_hidden,
+                      gcn_layers=args.gcn_layers,
+                      gcn_feature_dim=feats.shape[1])
+    model = GCNTwoTower(cfg)
+    bs = min(args.batch_size, len(tr_src))
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, feats_j, ei, ew,
+        jnp.asarray(tr_src[:bs]), jnp.asarray(tr_tgt[:bs]),
+        labels=jnp.asarray(tr_lab[:bs]))
+    tx = optax.adam(args.learning_rate)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o, s, t, l):
+        loss, g = jax.value_and_grad(
+            lambda p: model.apply(p, feats_j, ei, ew, s, t, labels=l,
+                                  deterministic=False,
+                                  rngs={"dropout": jax.random.PRNGKey(0)}
+                                  ).loss)(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, loss
+
+    for epoch in range(args.epochs):
+        order = np.random.RandomState(epoch).permutation(len(tr_src))
+        for s0 in range(0, len(order) - bs + 1, bs):
+            idx = order[s0:s0 + bs]
+            params, opt, loss = step(params, opt, jnp.asarray(tr_src[idx]),
+                                     jnp.asarray(tr_tgt[idx]),
+                                     jnp.asarray(tr_lab[idx]))
+        if epoch % 10 == 0:
+            logger.info(f"[gcn] epoch {epoch} loss {float(loss):.4f}")
+
+    out = {"final_loss": float(loss)}
+    if args.valid_pairs:
+        v_src, v_tgt, v_lab = load_pairs(args.valid_pairs)
+        probs = []
+        eval_fn = jax.jit(lambda p, s, t: model.apply(
+            p, feats_j, ei, ew, s, t).probs)
+        pad = (-len(v_src)) % bs
+        vs = np.concatenate([v_src, np.zeros(pad, np.int32)])
+        vt = np.concatenate([v_tgt, np.zeros(pad, np.int32)])
+        for s0 in range(0, len(vs), bs):
+            probs.append(np.asarray(eval_fn(
+                params, jnp.asarray(vs[s0:s0 + bs]),
+                jnp.asarray(vt[s0:s0 + bs]))))
+        probs = np.concatenate(probs)[: len(v_src)]
+        f1, pr, rc, thr = M.find_best_f1_and_threshold(v_lab, probs)
+        out.update(best_f1=f1, best_threshold=thr)
+    os.makedirs(args.output_dir, exist_ok=True)
+    from item_alignment_tpu.engine.checkpoint import save_params
+    save_params(os.path.join(args.output_dir, "gcn_params.msgpack"), params)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_coca_pretrain(argv: List[str]) -> int:
+    """CoCa caption+contrastive pretrain over (text, image) pairs stored as
+    npz shards with input_ids/attention_mask/images (coca_pretrain.py)."""
+    p = argparse.ArgumentParser(prog="ia-tpu coca-pretrain")
+    p.add_argument("--shards", nargs="+", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--config_file", default=None)
+    p.add_argument("--vocab_size", type=int, default=21128)
+    p.add_argument("--hidden_size", type=int, default=768)
+    p.add_argument("--num_hidden_layers", type=int, default=12)
+    p.add_argument("--num_attention_heads", type=int, default=12)
+    p.add_argument("--intermediate_size", type=int, default=3072)
+    p.add_argument("--multimodal_depth", type=int, default=12)
+    p.add_argument("--coca_heads", type=int, default=8)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from item_alignment_tpu.models.multimodal import CoCaForPretraining
+
+    kw = dict(model_name="coca", vocab_size=args.vocab_size,
+              hidden_size=args.hidden_size,
+              num_hidden_layers=args.num_hidden_layers,
+              num_attention_heads=args.num_attention_heads,
+              intermediate_size=args.intermediate_size,
+              multimodal_depth=args.multimodal_depth,
+              coca_heads=args.coca_heads,
+              image_size=args.image_size)
+    cfg = (ModelConfig.from_json(args.config_file, **kw)
+           if args.config_file else ModelConfig(**kw))
+    model = CoCaForPretraining(cfg)
+
+    data = [np.load(s) for s in args.shards]
+    ids = np.concatenate([d["input_ids"] for d in data]).astype(np.int32)
+    mask = np.concatenate([d["attention_mask"] for d in data]).astype(np.int32)
+    images = np.concatenate([d["images"] for d in data]).astype(np.float32)
+
+    bs = min(args.batch_size, len(ids))
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(ids[:bs]),
+        jnp.asarray(mask[:bs]), images=jnp.asarray(images[:bs]))
+    tx = optax.adamw(args.learning_rate)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o, i, m, im):
+        loss, g = jax.value_and_grad(
+            lambda p: model.apply(p, i, m, images=im))(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, loss
+
+    for epoch in range(args.epochs):
+        order = np.random.RandomState(epoch).permutation(len(ids))
+        for s0 in range(0, len(order) - bs + 1, bs):
+            sl = order[s0:s0 + bs]
+            params, opt, loss = step(params, opt, jnp.asarray(ids[sl]),
+                                     jnp.asarray(mask[sl]),
+                                     jnp.asarray(images[sl]))
+        logger.info(f"[coca] epoch {epoch} loss {float(loss):.4f}")
+    from item_alignment_tpu.engine.checkpoint import save_params
+    save_params(os.path.join(args.output_dir, "coca_pretrain.msgpack"),
+                params)
+    print(json.dumps({"final_loss": float(loss)}))
+    return 0
+
+
+def cmd_finetune_bert(argv: List[str]) -> int:
+    """Legacy 5-field BertAlignModel finetune with optional adversarial
+    embedding noise (finetune_bert.py)."""
+    p = argparse.ArgumentParser(prog="ia-tpu finetune-bert")
+    p.add_argument("--train_file", required=True,
+                   help="jsonl rows with src_/tgt_ fields + item_label")
+    p.add_argument("--valid_file", default=None)
+    p.add_argument("--vocab_path", required=True)
+    p.add_argument("--output_dir", default="output/bert_legacy")
+    p.add_argument("--config_file", default=None)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--learning_rate", type=float, default=2e-5)
+    p.add_argument("--adversarial", default=None,
+                   choices=[None, "FREE", "PGD", "MIX"])
+    p.add_argument("--epsilon", type=float, default=1e-2)
+    p.add_argument("--alpha", type=float, default=1e-2)
+    p.add_argument("--threshold", type=float, default=0.4)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from item_alignment_tpu.data.bert_data import (
+        pairs_to_field_dataset,
+        unflatten_fields,
+    )
+    from item_alignment_tpu.data.tokenization import load_text_tokenizer
+    from item_alignment_tpu.engine.adversarial import make_adversarial_step
+    from item_alignment_tpu.engine import metrics as M
+    from item_alignment_tpu.models.bert_legacy import (
+        BertAlignModel,
+        FIELD_MAX_LENS,
+        sim_eval_weight,
+    )
+
+    tok = load_text_tokenizer(args.vocab_path)
+
+    def load_rows(path):
+        with open(path, encoding="utf-8") as r:
+            return [json.loads(line) for line in r if line.strip()]
+
+    kw = dict(model_name="bert_legacy", vocab_size=len(tok))
+    cfg = (ModelConfig.from_json(args.config_file, **kw)
+           if args.config_file else ModelConfig(**kw))
+    model = BertAlignModel(cfg)
+    train_ds = pairs_to_field_dataset(load_rows(args.train_file), tok)
+
+    bs = min(args.batch_size, len(train_ds))
+    first = next(train_ds.batches(bs))[0]
+    labels0 = first.pop("labels")
+    fields0 = unflatten_fields(first)
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, fields0,
+                                 labels=jnp.asarray(labels0))
+    tx = optax.adamw(args.learning_rate)
+    opt = tx.init(params)
+
+    if args.adversarial:
+        def loss_fn(p, deltas, batch):
+            return model.apply(p, batch["fields"], labels=batch["labels"],
+                               pvs_noise=deltas["pvs"],
+                               title_noise=deltas["title"],
+                               deterministic=False,
+                               rngs={"dropout": jax.random.PRNGKey(0)}).loss
+        astep = make_adversarial_step(loss_fn, tx, args.adversarial,
+                                      args.epsilon, args.alpha)
+        deltas = {
+            "pvs": jnp.zeros((bs, FIELD_MAX_LENS["pvs"], cfg.hidden_size)),
+            "title": jnp.zeros((bs, FIELD_MAX_LENS["title"], cfg.hidden_size)),
+        }
+    else:
+        @jax.jit
+        def step(p, o, fields, labels, rng):
+            loss, g = jax.value_and_grad(
+                lambda p: model.apply(p, fields, labels=labels,
+                                      deterministic=False,
+                                      rngs={"dropout": rng}).loss)(p)
+            u, o = tx.update(g, o, p)
+            return optax.apply_updates(p, u), o, loss
+
+    rng = jax.random.PRNGKey(1)
+    for epoch in range(args.epochs):
+        for batch, _ in train_ds.batches(bs, shuffle=True, seed=epoch,
+                                         drop_last=True):
+            labels = jnp.asarray(batch.pop("labels"))
+            fields = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                      for k, v in unflatten_fields(batch).items()}
+            rng, k = jax.random.split(rng)
+            if args.adversarial:
+                params, opt, deltas, loss = astep(
+                    params, opt, deltas, k,
+                    {"fields": fields, "labels": labels})
+            else:
+                params, opt, loss = step(params, opt, fields, labels, k)
+        logger.info(f"[bert] epoch {epoch} loss {float(loss):.4f}")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    from item_alignment_tpu.engine.checkpoint import save_params
+    save_params(os.path.join(args.output_dir, "bert_align.msgpack"), params)
+    w, b = sim_eval_weight(params)
+    np.savez(os.path.join(args.output_dir, "sim_eval_weight.npz"),
+             weight=np.asarray(w), bias=np.asarray(b))
+
+    out = {"final_loss": float(loss)}
+    if args.valid_file:
+        valid_ds = pairs_to_field_dataset(load_rows(args.valid_file), tok)
+        eval_fn = jax.jit(lambda p, f: model.apply(p, f).probs)
+        probs, labels_all = [], []
+        for batch, meta in valid_ds.batches(bs):
+            labels_all.append(np.asarray(batch.pop("labels"))[: meta["n_valid"]])
+            fields = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                      for k, v in unflatten_fields(batch).items()}
+            probs.append(np.asarray(eval_fn(params, fields))[: meta["n_valid"]])
+        f1, pr, rc, thr = M.find_best_f1_and_threshold(
+            np.concatenate(labels_all), np.concatenate(probs))
+        out.update(best_f1=f1, best_threshold=thr)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_bert_pretrain(argv: List[str]) -> int:
+    """Structure-aware MLM+NSP domain pretrain (bert_pretrain.py): builds
+    whole-field / title-match / per-pv masked examples + negative 'next'
+    examples from item_info.jsonl and trains BertForPretraining."""
+    p = argparse.ArgumentParser(prog="ia-tpu bert-pretrain")
+    p.add_argument("--item_info", required=True)
+    p.add_argument("--vocab_path", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--config_file", default=None)
+    p.add_argument("--max_seq_len", type=int, default=254)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--n_negatives", type=int, default=1)
+    p.add_argument("--max_items", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import random as pyrandom
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from item_alignment_tpu.data.bert_data import build_pretrain_examples
+    from item_alignment_tpu.data.datasets import ArrayDataset
+    from item_alignment_tpu.data.tokenization import load_text_tokenizer
+    from item_alignment_tpu.models.bert_legacy import BertForPretraining
+
+    tok = load_text_tokenizer(args.vocab_path)
+    items = []
+    with open(args.item_info, encoding="utf-8") as r:
+        for line in r:
+            d = json.loads(line)
+            d.setdefault("cate_name_path", d.get("cate_path", ""))
+            items.append(d)
+            if args.max_items and len(items) >= args.max_items:
+                break
+    rng = pyrandom.Random(args.seed)
+    examples = []
+    for item in items:
+        examples.extend(build_pretrain_examples(
+            item, tok, args.max_seq_len, items, rng, args.n_negatives))
+    logger.info(f"[bert-pretrain] {len(examples)} examples from {len(items)} items")
+    ds = ArrayDataset({
+        "input_ids": np.asarray([e["input_ids"] for e in examples], np.int32),
+        "attention_mask": np.asarray([e["attention_mask"] for e in examples], np.int32),
+        "token_type_ids": np.asarray([e["token_type_ids"] for e in examples], np.int32),
+        "mlm_labels": np.asarray([e["label_ids"] for e in examples], np.int32),
+        "next_label": np.asarray([e["next_label"] for e in examples], np.int32),
+    })
+
+    kw = dict(model_name="bert_legacy", vocab_size=len(tok),
+              type_vocab_size=5)
+    cfg = (ModelConfig.from_json(args.config_file, **kw)
+           if args.config_file else ModelConfig(**kw))
+    model = BertForPretraining(cfg)
+    bs = min(args.batch_size, len(ds))
+    first = next(ds.batches(bs))[0]
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.asarray(first["input_ids"]), jnp.asarray(first["attention_mask"]),
+        jnp.asarray(first["token_type_ids"]),
+        mlm_labels=jnp.asarray(first["mlm_labels"]),
+        next_label=jnp.asarray(first["next_label"]))
+    tx = optax.adamw(args.learning_rate)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o, b):
+        def loss_fn(p):
+            return model.apply(p, b["input_ids"], b["attention_mask"],
+                               b["token_type_ids"],
+                               mlm_labels=b["mlm_labels"],
+                               next_label=b["next_label"])["loss"]
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, loss
+
+    for epoch in range(args.epochs):
+        for batch, _ in ds.batches(bs, shuffle=True, seed=epoch,
+                                   drop_last=True):
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            params, opt, loss = step(params, opt, jb)
+        logger.info(f"[bert-pretrain] epoch {epoch} loss {float(loss):.4f}")
+    from item_alignment_tpu.engine.checkpoint import save_params
+    os.makedirs(args.output_dir, exist_ok=True)
+    save_params(os.path.join(args.output_dir, "bert_pretrain.msgpack"), params)
+    print(json.dumps({"final_loss": float(loss), "examples": len(examples)}))
+    return 0
+
+
+def cmd_pred_bert(argv: List[str]) -> int:
+    """Legacy inference: sigmoid(pooled . w + b) with the exported sim-eval
+    weight, written in submission format (pred_bert.py:102-245)."""
+    p = argparse.ArgumentParser(prog="ia-tpu pred-bert")
+    p.add_argument("--test_file", required=True)
+    p.add_argument("--vocab_path", required=True)
+    p.add_argument("--params", required=True, help="bert_align.msgpack")
+    p.add_argument("--config_file", default=None)
+    p.add_argument("--output", required=True)
+    p.add_argument("--threshold", type=float, default=0.4)
+    p.add_argument("--batch_size", type=int, default=8)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from item_alignment_tpu.data.bert_data import (
+        pairs_to_field_dataset,
+        unflatten_fields,
+    )
+    from item_alignment_tpu.data.tokenization import load_text_tokenizer
+    from item_alignment_tpu.models.bert_legacy import BertAlignModel
+
+    tok = load_text_tokenizer(args.vocab_path)
+    kw = dict(model_name="bert_legacy", vocab_size=len(tok))
+    cfg = (ModelConfig.from_json(args.config_file, **kw)
+           if args.config_file else ModelConfig(**kw))
+    model = BertAlignModel(cfg)
+
+    rows = [json.loads(l) for l in open(args.test_file, encoding="utf-8")
+            if l.strip()]
+    for r in rows:
+        r.setdefault("item_label", 0)
+    ds = pairs_to_field_dataset(rows, tok)
+    bs = min(args.batch_size, len(ds))
+    first = next(ds.batches(bs))[0]
+    first.pop("labels")
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
+                                 unflatten_fields(first))
+    from item_alignment_tpu.engine.checkpoint import load_params
+    params = load_params(args.params, params)
+
+    eval_fn = jax.jit(lambda p, f: model.apply(p, f).probs)
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    with open(args.output, "w", encoding="utf-8") as w:
+        i = 0
+        for batch, meta in ds.batches(bs):
+            batch.pop("labels")
+            fields = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                      for k, v in unflatten_fields(batch).items()}
+            probs = np.asarray(eval_fn(params, fields))[: meta["n_valid"]]
+            for prob in probs:
+                row = rows[i]
+                w.write(json.dumps({
+                    "src_item_id": row.get("src_item_id", ""),
+                    "src_item_emb": "[0]",
+                    "tgt_item_id": row.get("tgt_item_id", ""),
+                    "tgt_item_emb": f"[{float(prob)}]",
+                    "threshold": args.threshold}) + "\n")
+                i += 1
+    print(json.dumps({"output": args.output, "pairs": i}))
+    return 0
+
+
 COMMANDS = {
     "prepare": cmd_prepare,
     "finetune-text": cmd_finetune_text,
+    "finetune-image": cmd_finetune_image,
+    "finetune-multimodal": cmd_finetune_multimodal,
+    "finetune-graph": cmd_finetune_graph,
+    "finetune-bert": cmd_finetune_bert,
+    "bert-pretrain": cmd_bert_pretrain,
+    "coca-pretrain": cmd_coca_pretrain,
     "pkgm-pretrain": cmd_pkgm_pretrain,
     "pred-text": cmd_pred_text,
+    "pred-bert": cmd_pred_bert,
     "model-soup": cmd_model_soup,
     "ensemble": cmd_ensemble,
 }

@@ -243,6 +243,8 @@ class TrainConfig:
     eval_thresholds: Tuple[float, ...] = tuple(round(0.1 * i, 1) for i in range(1, 10))
     checkpoint_every_epochs: int = 1
     keep_checkpoints: int = 20
+    eval_every_steps: Optional[int] = None   # step-based eval (finetune_bert)
+    early_stopping_patience: Optional[int] = None  # evals without F1 gain
     mesh: MeshConfig = field(default_factory=MeshConfig)
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
 

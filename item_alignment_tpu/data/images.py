@@ -185,3 +185,40 @@ def read_image_shards(paths: Sequence[str]):
     for path in paths:
         with np.load(path, allow_pickle=False) as z:
             yield {k: z[k] for k in z.files}
+
+
+# ------------------------------------------------- detection-guided crop
+def crop_largest_detection(
+    img: np.ndarray,
+    detections: Sequence[Tuple[float, float, float, float, str, float]],
+    class_whitelist: Optional[Sequence[str]] = None,
+    min_crop_ratio: float = 0.1,
+) -> np.ndarray:
+    """Object-detection-guided crop (reference ``object_detection``,
+    data_prepare.py:1450-1505): crop the LARGEST whitelisted box if its
+    area ratio exceeds ``min_crop_ratio``, else return the original image.
+
+    ``detections`` rows are (x1, y1, x2, y2, class_name, confidence) from
+    any external detector (the reference shells out to torch.hub YOLOv5,
+    which needs network access; here boxes arrive precomputed).  The
+    per-category class whitelist corresponds to the reference's
+    CATE2YOLO_CLASS table (data_prepare.py:36-169) supplied by the caller.
+    """
+    h, w = img.shape[:2]
+    best = None
+    best_area = 0.0
+    for (x1, y1, x2, y2, cls, _conf) in detections:
+        if class_whitelist is not None and cls not in class_whitelist:
+            continue
+        area = max(x2 - x1, 0) * max(y2 - y1, 0)
+        if area > best_area:
+            best_area = area
+            best = (x1, y1, x2, y2)
+    if best is None or best_area / float(h * w) <= min_crop_ratio:
+        return img
+    x1, y1, x2, y2 = (int(round(v)) for v in best)
+    x1, y1 = max(x1, 0), max(y1, 0)
+    x2, y2 = min(x2, w), min(y2, h)
+    if x2 <= x1 or y2 <= y1:
+        return img
+    return img[y1:y2, x1:x2]

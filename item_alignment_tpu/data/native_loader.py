@@ -1,0 +1,133 @@
+"""ctypes bindings for the native data-loading kernels (native/ia_data.cpp).
+
+Compiles the shared library on first use (g++, cached next to the source);
+every entry point has a pure-Python fallback so the framework works without
+a compiler.  ``read_tsv_fast`` is the accelerated version of the TSV scan
+behind ``prepare.read_finetune_tsv``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import mmap
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from item_alignment_tpu.utils import logger
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "ia_data.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libia_data.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+            check=True, capture_output=True, text=True)
+        return _SO
+    except Exception as e:  # compiler missing / failed
+        logger.warning(f"native build failed ({e}); using Python fallback")
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    so = _build() if os.path.exists(_SRC) else None
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.tsv_index.restype = ctypes.c_int64
+    lib.tsv_index.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.count_char.restype = ctypes.c_int64
+    lib.count_char.argtypes = [ctypes.c_char_p, ctypes.c_char]
+    lib.pack_rows.restype = None
+    lib.pack_rows.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def tsv_index(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(field_starts, field_ends, field_counts-per-line), byte offsets."""
+    lib = get_lib()
+    assert lib is not None, "native library unavailable"
+    n_lines = ctypes.c_int64()
+    n_fields = ctypes.c_int64()
+    rc = lib.tsv_index(path.encode(), ctypes.byref(n_lines),
+                       ctypes.byref(n_fields), None, None, None)
+    assert rc == 0, f"tsv_index failed: {rc}"
+    starts = np.empty(n_fields.value, np.int64)
+    ends = np.empty(n_fields.value, np.int64)
+    counts = np.empty(n_lines.value, np.int64)
+    rc = lib.tsv_index(path.encode(), ctypes.byref(n_lines),
+                       ctypes.byref(n_fields),
+                       starts.ctypes.data_as(ctypes.c_void_p),
+                       ends.ctypes.data_as(ctypes.c_void_p),
+                       counts.ctypes.data_as(ctypes.c_void_p))
+    assert rc == 0, f"tsv_index failed: {rc}"
+    return starts, ends, counts
+
+
+def read_tsv_fast(path: str) -> List[Tuple[str, ...]]:
+    """Accelerated TSV reader: native offset scan + mmap slicing; pure-
+    Python fallback when the native lib is unavailable."""
+    if get_lib() is None or os.path.getsize(path) == 0:
+        with open(path, encoding="utf-8") as f:
+            return [tuple(line.rstrip("\n").split("\t")) for line in f
+                    if line.strip()]
+    starts, ends, counts = tsv_index(path)
+    rows: List[Tuple[str, ...]] = []
+    with open(path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            idx = 0
+            for c in counts:
+                fields = tuple(
+                    mm[starts[idx + j]:ends[idx + j]].decode("utf-8")
+                    for j in range(int(c)))
+                idx += int(c)
+                if len(fields) > 1 or (fields and fields[0]):
+                    rows.append(fields)
+        finally:
+            mm.close()
+    return rows
+
+
+def count_lines(path: str) -> int:
+    lib = get_lib()
+    if lib is None:
+        with open(path, "rb") as f:
+            return sum(1 for _ in f)
+    return int(lib.count_char(path.encode(), b"\n"))
+
+
+def pack_rows(data: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Gather ``data[order]`` for int32 row matrices via the native kernel
+    (falls back to numpy fancy indexing)."""
+    data = np.ascontiguousarray(data, np.int32)
+    order = np.ascontiguousarray(order, np.int64)
+    lib = get_lib()
+    if lib is None:
+        return data[np.clip(order, 0, len(data) - 1)]
+    out = np.empty((len(order), data.shape[1]), np.int32)
+    lib.pack_rows(data.ctypes.data_as(ctypes.c_void_p), data.shape[0],
+                  data.shape[1], order.ctypes.data_as(ctypes.c_void_p),
+                  len(order), out.ctypes.data_as(ctypes.c_void_p))
+    return out

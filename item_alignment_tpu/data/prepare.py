@@ -352,18 +352,19 @@ def write_tsv(rows: Sequence[Tuple], path: str, shuffle: bool = False,
 def read_finetune_tsv(path: str, id_dict: Optional[Dict] = None,
                       cate2id: Optional[Dict[str, int]] = None) -> List[Tuple]:
     """TSV -> 9-tuple rows with cate ids spliced in, matching
-    ``finetune_text.load_raw_data`` (finetune_text.py:91-150)."""
+    ``finetune_text.load_raw_data`` (finetune_text.py:91-150).  Uses the
+    native mmap scanner when available (data/native_loader.py)."""
+    from item_alignment_tpu.data.native_loader import read_tsv_fast
+
     rows = []
-    with open(path, encoding="utf-8") as r:
-        for line in r:
-            (label, sid, s_title, s_pvs, tid, t_title, t_pvs) = \
-                line.strip("\n").split("\t")
-            s_cate = t_cate = 0
-            if id_dict is not None and cate2id is not None:
-                s_cate = cate2id.get(id_dict[sid]["cate_name"], 0)
-                t_cate = cate2id.get(id_dict[tid]["cate_name"], 0)
-            rows.append((label, sid, s_cate, s_title, s_pvs,
-                         tid, t_cate, t_title, t_pvs))
+    for fields in read_tsv_fast(path):
+        (label, sid, s_title, s_pvs, tid, t_title, t_pvs) = fields
+        s_cate = t_cate = 0
+        if id_dict is not None and cate2id is not None:
+            s_cate = cate2id.get(id_dict[sid]["cate_name"], 0)
+            t_cate = cate2id.get(id_dict[tid]["cate_name"], 0)
+        rows.append((label, sid, s_cate, s_title, s_pvs,
+                     tid, t_cate, t_title, t_pvs))
     return rows
 
 

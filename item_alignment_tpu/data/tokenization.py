@@ -305,6 +305,47 @@ def rows_to_two_tower_dataset(
     return ArrayDataset(arrays, meta)
 
 
+def rows_to_image_one_tower_dataset(
+    rows: Sequence, tok, max_seq_len: Optional[int],
+    max_seq_len_pv: Optional[int], image_hidden_size: int = 3072,
+) -> ArrayDataset:
+    """9-column TSV rows with img-emb strings (label, src_id, src_title,
+    src_pvs, src_img_emb, tgt_id, tgt_title, tgt_pvs, tgt_img_emb) ->
+    roberta_image ``ensemble=="begin"`` arrays (RobertaImageOneTowerDataset,
+    data.py:623-753)."""
+    feats: Dict[str, list] = {"input_ids": [], "token_type_ids": [],
+                              "attention_mask": [], "image_indices": [],
+                              "labels": []}
+    img_feats = {"src_image_embeds": [], "tgt_image_embeds": []}
+    meta = {"src_item_id": [], "tgt_item_id": []}
+    for row in rows:
+        (label, src_item_id, src_title, src_pvs, src_emb,
+         tgt_item_id, tgt_title, tgt_pvs, tgt_emb) = row
+        src_text = build_item_text(src_title, src_pvs, tok.sep_token)
+        tgt_text = build_item_text(tgt_title, tgt_pvs, tok.sep_token)
+        max_length = (max_seq_len or 0) + (max_seq_len_pv or 0)
+        enc = encode_image_one_tower(tok, src_text, tgt_text, max_length)
+        for k in ("input_ids", "token_type_ids", "attention_mask",
+                  "image_indices"):
+            feats[k].append(enc[k])
+        feats["labels"].append(int(label))
+
+        def parse_emb(s):
+            vals = np.array([float(x) for x in s.split(",") if x],
+                            np.float32) if s else np.zeros(0, np.float32)
+            out = np.zeros(image_hidden_size, np.float32)
+            out[: len(vals)] = vals[:image_hidden_size]
+            return out
+
+        img_feats["src_image_embeds"].append(parse_emb(src_emb))
+        img_feats["tgt_image_embeds"].append(parse_emb(tgt_emb))
+        meta["src_item_id"].append(src_item_id)
+        meta["tgt_item_id"].append(tgt_item_id)
+    arrays = {k: np.asarray(v, np.int32) for k, v in feats.items()}
+    arrays.update({k: np.stack(v) for k, v in img_feats.items()})
+    return ArrayDataset(arrays, meta)
+
+
 def rows_to_pkgm_dataset(rows, tok, kg_ent, kg_rel, max_seq_len: int,
                          max_pvs: int, classification_method: str = "cls"
                          ) -> ArrayDataset:

@@ -110,13 +110,15 @@ class Trainer:
     def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
         return {k: jax.device_put(v, self._batch_sharding) for k, v in batch.items()}
 
-    def train_epoch(self, dataset: ArrayDataset, epoch: int = 0) -> Dict[str, float]:
+    def train_epoch(self, dataset: ArrayDataset, epoch: int = 0,
+                    valid_ds: Optional[ArrayDataset] = None) -> Dict[str, float]:
         cfg = self.config
         if self.state is None:
             first = next(dataset.batches(cfg.train_batch_size))[0]
             self.setup(first)
         losses, t0 = [], time.time()
         steps = 0
+        mid_evals = []
         for batch, _ in dataset.batches(cfg.train_batch_size, shuffle=True,
                                         seed=cfg.seed + epoch, drop_last=False):
             self.state, loss = self._train_step(self.state, self._device_batch(batch))
@@ -125,9 +127,18 @@ class Trainer:
                 losses.append(float(loss))
                 logger.info(f"epoch {epoch} step {steps} loss {losses[-1]:.4f} "
                             f"({(time.time()-t0)/steps:.3f}s/step)")
+            if (cfg.eval_every_steps and valid_ds is not None
+                    and steps % cfg.eval_every_steps == 0):
+                ev = self.evaluate(valid_ds)
+                mid_evals.append({"step": steps, "best_f1": ev.get("best_f1")})
+                logger.info(f"epoch {epoch} step {steps} "
+                            f"eval f1 {ev.get('best_f1', float('nan')):.4f}")
         final_loss = float(loss) if steps else float("nan")
-        return {"epoch": epoch, "steps": steps, "loss": final_loss,
-                "wall_s": time.time() - t0}
+        out = {"epoch": epoch, "steps": steps, "loss": final_loss,
+               "wall_s": time.time() - t0}
+        if mid_evals:
+            out["mid_evals"] = mid_evals
+        return out
 
     def evaluate(self, dataset: ArrayDataset) -> Dict[str, Any]:
         cfg = self.config
@@ -181,19 +192,36 @@ class Trainer:
 
     def fit(self, train_ds: ArrayDataset, valid_ds: Optional[ArrayDataset] = None
             ) -> Dict[str, Any]:
+        """Epoch loop with per-epoch (or per-N-steps) threshold-sweep eval,
+        best-F1 tracking and optional early stopping by eval patience
+        (finetune_bert.py:584-592)."""
         cfg = self.config
         history = []
-        best = {"best_f1": 0.0, "epoch": -1}
+        best = {"best_f1": 0.0, "epoch": -1, "params": None}
+        stale_evals = 0
         for epoch in range(cfg.num_epochs):
-            stats = self.train_epoch(train_ds, epoch)
+            stats = self.train_epoch(train_ds, epoch, valid_ds)
             if valid_ds is not None:
                 ev = self.evaluate(valid_ds)
                 stats.update(best_f1=ev.get("best_f1"),
                              best_threshold=ev.get("best_threshold"))
-                if ev.get("best_f1", 0.0) >= best["best_f1"]:
+                if ev.get("best_f1", 0.0) > best["best_f1"]:
                     best = {"best_f1": ev["best_f1"], "epoch": epoch,
-                            "threshold": ev.get("best_threshold")}
+                            "threshold": ev.get("best_threshold"),
+                            "params": jax.tree.map(np.asarray,
+                                                   self.state.params)}
+                    stale_evals = 0
+                else:
+                    stale_evals += 1
                 logger.info(f"epoch {epoch}: loss {stats['loss']:.4f} "
                             f"f1 {ev.get('best_f1', float('nan')):.4f}")
+                if (cfg.early_stopping_patience is not None
+                        and stale_evals >= cfg.early_stopping_patience):
+                    logger.info(f"early stopping after {stale_evals} stale evals")
+                    history.append(stats)
+                    break
             history.append(stats)
+        best_params = best.pop("params", None)
+        if best_params is not None:
+            self.best_params = best_params
         return {"history": history, "best": best}

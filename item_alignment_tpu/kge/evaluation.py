@@ -52,8 +52,8 @@ class LinkPredictionEvaluator:
             h = kg.head_idx[s:s + bs]
             r = kg.relations[s:s + bs]
             t = kg.tail_idx[s:s + bs]
-            st = np.asarray(self._tails_fn(self.params, jnp.asarray(h), jnp.asarray(r)))
-            sh = np.asarray(self._heads_fn(self.params, jnp.asarray(t), jnp.asarray(r)))
+            st = np.array(self._tails_fn(self.params, jnp.asarray(h), jnp.asarray(r)))
+            sh = np.array(self._heads_fn(self.params, jnp.asarray(t), jnp.asarray(r)))
             ranks_t.append(_ranks_from_scores(st, t))
             ranks_h.append(_ranks_from_scores(sh, h))
             # filtered: mask all known-true candidates except the target

@@ -42,9 +42,18 @@ def l2_normalize(x, axis=-1, eps=1e-12):
 
 def dissimilarity(a, b, kind: str = "L2"):
     """torchkge dissimilarities (utils/dissimilarities.py): L1 = ||a-b||_1,
-    L2 = ||a-b||_2^2 (squared)."""
+    L2 = ||a-b||_2^2 (squared), plus the TorusE variants (Ebisu et al.)."""
     if kind == "L1":
         return jnp.sum(jnp.abs(a - b), axis=-1)
+    if kind == "torus_L1":
+        d = jnp.abs(a - b)
+        return 2 * jnp.sum(jnp.minimum(d, 1 - d), axis=-1)
+    if kind == "torus_L2":
+        d = (a - b) ** 2
+        return 4 * jnp.sum(jnp.minimum(d, 1 - d), axis=-1)
+    if kind == "torus_eL2":
+        d = jnp.minimum(a - b, 1 - (a - b))
+        return jnp.sum(2 * (1 - jnp.cos(2 * jnp.pi * d)), axis=-1) / 4
     return jnp.sum((a - b) ** 2, axis=-1)
 
 

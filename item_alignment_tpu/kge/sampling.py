@@ -79,3 +79,54 @@ class BernoulliNegativeSampler(UniformNegativeSampler):
 
     def _head_corruption_prob(self, relations: jnp.ndarray) -> jnp.ndarray:
         return self.bern_probs[relations]
+
+
+class PositionalNegativeSampler(BernoulliNegativeSampler):
+    """Socher et al. 2011: corrupted entities are drawn only from those
+    observed in the same position for the same relation
+    (torchkge sampling.py:330-591), with Bernoulli head/tail choice.
+
+    The per-(relation, position) candidate pools are padded to a fixed
+    width so sampling is a single vectorized gather.
+    """
+
+    def __init__(self, kg: KnowledgeGraph, n_neg: int = 1,
+                 max_pool: int = 64):
+        super().__init__(kg, n_neg)
+        heads_pool = [[] for _ in range(kg.n_rel)]
+        tails_pool = [[] for _ in range(kg.n_rel)]
+        for h, r, t in zip(kg.head_idx, kg.relations, kg.tail_idx):
+            heads_pool[int(r)].append(int(h))
+            tails_pool[int(r)].append(int(t))
+
+        def pad(pools):
+            table = np.zeros((kg.n_rel, max_pool), np.int32)
+            sizes = np.ones(kg.n_rel, np.int32)
+            for r, pool in enumerate(pools):
+                uniq = sorted(set(pool)) or [0]
+                k = min(len(uniq), max_pool)
+                table[r, :k] = uniq[:k]
+                if k < max_pool:
+                    table[r, k:] = table[r, 0]
+                sizes[r] = k
+            return jnp.asarray(table), jnp.asarray(sizes)
+
+        self.head_table, self.head_sizes = pad(heads_pool)
+        self.tail_table, self.tail_sizes = pad(tails_pool)
+
+    def corrupt_batch(self, rng, heads, tails, relations, n_neg=None):
+        n_neg = n_neg or self.n_neg
+        heads = jnp.tile(jnp.asarray(heads), n_neg)
+        tails = jnp.tile(jnp.asarray(tails), n_neg)
+        relations = jnp.tile(jnp.asarray(relations), n_neg)
+        k1, k2 = jax.random.split(rng)
+        corrupt_head = jax.random.bernoulli(
+            k1, self._head_corruption_prob(relations))
+        u = jax.random.uniform(k2, heads.shape)
+        h_pick = (u * self.head_sizes[relations]).astype(jnp.int32)
+        t_pick = (u * self.tail_sizes[relations]).astype(jnp.int32)
+        rand_heads = self.head_table[relations, h_pick]
+        rand_tails = self.tail_table[relations, t_pick]
+        neg_heads = jnp.where(corrupt_head, rand_heads, heads)
+        neg_tails = jnp.where(corrupt_head, tails, rand_tails)
+        return neg_heads, neg_tails

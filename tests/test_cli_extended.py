@@ -1,0 +1,157 @@
+"""Extended CLI commands: image, multimodal, graph, bert, coca round trips
+on tiny synthetic inputs."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from item_alignment_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def vocab_dir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("vocab")
+    vocab = ["[PAD]"] + [f"[unused{i}]" for i in range(1, 100)] + \
+        ["[UNK]", "[CLS]", "[SEP]", "[MASK]", ":", ";", "a", "b", "商", "品",
+         "标", "题"] + ["<S>"]
+    (tmp / "vocab.txt").write_text("\n".join(vocab), encoding="utf-8")
+    return str(tmp)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cfg")
+    p = tmp / "tiny.json"
+    p.write_text(json.dumps({
+        "hidden_size": 32, "num_hidden_layers": 1, "num_attention_heads": 4,
+        "intermediate_size": 64, "max_position_embeddings": 600,
+        "hidden_dropout_prob": 0.0}))
+    return str(p)
+
+
+def test_finetune_image_cli(tmp_path, capsys):
+    from item_alignment_tpu.data.images import write_image_shards
+
+    rs = np.random.RandomState(0)
+    pairs = [(f"p{i}", rs.randint(0, 255, (40, 40, 3), np.uint8),
+              rs.randint(0, 255, (40, 40, 3), np.uint8), i % 2)
+             for i in range(8)]
+    shards = write_image_shards(pairs, str(tmp_path / "shards"))
+    rc = main(["finetune-image", "--data_dir", str(tmp_path),
+               "--output_dir", str(tmp_path / "out"),
+               "--model_name", "resnet_tiny", "--shards", *shards,
+               "--image_size", "32", "--train_batch_size", "4",
+               "--eval_batch_size", "4", "--epochs", "1",
+               "--do_train", "--do_pred"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    pred = json.loads(out[-1])
+    assert os.path.exists(pred["prediction_file"])
+
+
+def test_finetune_multimodal_cli(tmp_path, vocab_dir, tiny_cfg, capsys):
+    rows = []
+    rs = np.random.RandomState(0)
+    for i in range(6):
+        emb = ",".join(f"{x:.3f}" for x in rs.randn(8))
+        rows.append((str(i % 2), f"s{i}", "商品 标题", "a:b;b:a", emb,
+                     f"t{i}", "商品 标题", "a:b", emb))
+    with open(tmp_path / "finetune_train_train.tsv", "w") as w:
+        for r in rows:
+            w.write("\t".join(r) + "\n")
+    with open(tmp_path / "finetune_train_valid.tsv", "w") as w:
+        for r in rows[:3]:
+            w.write("\t".join(r) + "\n")
+    rc = main(["finetune-multimodal", "--data_dir", str(tmp_path),
+               "--output_dir", str(tmp_path / "out"),
+               "--vocab_path", vocab_dir, "--config_file", tiny_cfg,
+               "--model_name", "roberta_image_tiny",
+               "--image_hidden_size", "8",
+               "--max_seq_len", "6", "--max_seq_len_pv", "6",
+               "--train_batch_size", "3", "--eval_batch_size", "3",
+               "--epochs", "1", "--do_train", "--do_pred"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    pred = json.loads(out[-1])
+    rows_out = [json.loads(l) for l in open(pred["prediction_file"])]
+    assert len(rows_out) == 3
+
+
+def test_finetune_graph_cli(tmp_path, capsys):
+    from item_alignment_tpu.ops.sparse import normalize_adjacency
+
+    rs = np.random.RandomState(0)
+    n = 12
+    feats = rs.randn(n, 6).astype(np.float32)
+    ei = np.array([[i, (i + 1) % n] for i in range(n)]).T
+    ei, ew = normalize_adjacency(ei, n)
+    np.save(tmp_path / "feat.npy", feats)
+    np.savez(tmp_path / "edges.npz", edge_index=ei, edge_weight=ew)
+    with open(tmp_path / "train.jsonl", "w") as w:
+        for i in range(8):
+            w.write(json.dumps({"src_idx": i, "tgt_idx": (i + 2) % n,
+                                "item_label": i % 2}) + "\n")
+    rc = main(["finetune-graph", "--feature_matrix", str(tmp_path / "feat.npy"),
+               "--edges", str(tmp_path / "edges.npz"),
+               "--train_pairs", str(tmp_path / "train.jsonl"),
+               "--valid_pairs", str(tmp_path / "train.jsonl"),
+               "--output_dir", str(tmp_path / "out"),
+               "--gcn_hidden", "8", "--gcn_layers", "1",
+               "--epochs", "3", "--batch_size", "8"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(res["final_loss"])
+    assert "best_f1" in res
+
+
+def test_finetune_and_pred_bert_cli(tmp_path, vocab_dir, tiny_cfg, capsys):
+    rows = []
+    for i in range(4):
+        rows.append({"item_label": i % 2,
+                     "src_item_id": f"s{i}", "tgt_item_id": f"t{i}",
+                     "src_pvs": "a:b", "tgt_pvs": "a:b",
+                     "src_title": "商品", "tgt_title": "商品",
+                     "src_cate": "a", "tgt_cate": "a",
+                     "src_cate_path": "a/b", "tgt_cate_path": "a/b",
+                     "src_industry_name": "b", "tgt_industry_name": "b"})
+    with open(tmp_path / "train.jsonl", "w") as w:
+        for r in rows:
+            w.write(json.dumps(r) + "\n")
+    rc = main(["finetune-bert", "--train_file", str(tmp_path / "train.jsonl"),
+               "--valid_file", str(tmp_path / "train.jsonl"),
+               "--vocab_path", vocab_dir, "--config_file", tiny_cfg,
+               "--output_dir", str(tmp_path / "out"),
+               "--batch_size", "2", "--epochs", "1",
+               "--adversarial", "FREE"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(res["final_loss"]) and "best_f1" in res
+    assert os.path.exists(tmp_path / "out" / "sim_eval_weight.npz")
+
+    rc = main(["pred-bert", "--test_file", str(tmp_path / "train.jsonl"),
+               "--vocab_path", vocab_dir, "--config_file", tiny_cfg,
+               "--params", str(tmp_path / "out" / "bert_align.msgpack"),
+               "--output", str(tmp_path / "pred.jsonl")])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["pairs"] == 4
+
+
+def test_coca_pretrain_cli(tmp_path, capsys):
+    rs = np.random.RandomState(0)
+    np.savez(tmp_path / "shard0.npz",
+             input_ids=rs.randint(3, 90, (6, 10)).astype(np.int32),
+             attention_mask=np.ones((6, 10), np.int32),
+             images=rs.rand(6, 16, 16, 3).astype(np.float32))
+    rc = main(["coca-pretrain", "--shards", str(tmp_path / "shard0.npz"),
+               "--output_dir", str(tmp_path / "out"),
+               "--vocab_size", "100", "--hidden_size", "32",
+               "--num_hidden_layers", "1", "--num_attention_heads", "4",
+               "--intermediate_size", "64", "--multimodal_depth", "1",
+               "--coca_heads", "4",
+               "--image_size", "16", "--batch_size", "3", "--epochs", "1"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(res["final_loss"])
