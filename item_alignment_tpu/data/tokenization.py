@@ -363,6 +363,88 @@ def rows_to_pkgm_dataset(rows, tok, kg_ent, kg_rel, max_seq_len: int,
     return ArrayDataset(arrays, meta)
 
 
+def build_multimodal_pretrain_dataset(
+    items: Sequence[Dict], tok, image_loader, max_seq_len: int,
+    image_size: int, bos: bool = False,
+) -> ArrayDataset:
+    """CoCa pretrain examples: per-item ``title [SEP] jieba(pvs)`` text +
+    transformed main image (MultimodalDataset, data.py:872-930).
+
+    ``items``: dicts with title/pvs/image_path; ``image_loader(path) ->
+    HWC uint8 or None`` (broken images dropped, matching the reference).
+    """
+    from item_alignment_tpu.data.images import eval_transform
+
+    feats = {"input_ids": [], "attention_mask": [], "token_type_ids": [],
+             "images": []}
+    meta = {"item_id": []}
+    for item in items:
+        img = image_loader(item["image_path"])
+        if img is None:
+            continue
+        text = build_item_text(item.get("title", ""), item.get("pvs", ""),
+                               tok.sep_token)
+        if bos:
+            text = f"{tok.bos_token} {text}"  # ensemble=="sum" prefix
+        enc = tok(text=text, max_length=max_seq_len, padding="max_length",
+                  truncation="longest_first")
+        feats["input_ids"].append(enc["input_ids"])
+        feats["attention_mask"].append(enc["attention_mask"])
+        feats["token_type_ids"].append(enc["token_type_ids"])
+        feats["images"].append(eval_transform(img, image_size))
+        meta["item_id"].append(item.get("item_id", ""))
+    arrays = {k: np.asarray(v, np.int32) for k, v in feats.items()
+              if k != "images"}
+    arrays["images"] = np.stack(feats["images"]).astype(np.float32) \
+        if feats["images"] else np.zeros((0, image_size, image_size, 3),
+                                         np.float32)
+    return ArrayDataset(arrays, meta)
+
+
+def build_multimodal_pair_dataset(
+    rows: Sequence, tok, image_loader, image_paths: Dict[str, str],
+    max_seq_len: int, max_seq_len_pv: Optional[int], image_size: int,
+    bos: bool = False,
+) -> ArrayDataset:
+    """CoCa finetune pairs: per-item text + transformed image for both sides
+    (PairedMultimodalDataset, data.py:933-989).  Rows are the 9-tuple
+    finetune rows; ``image_paths`` maps item_id -> file."""
+    from item_alignment_tpu.data.images import eval_transform
+
+    feats: Dict[str, list] = {f"{k}_{i}": [] for k in
+                              ("input_ids", "attention_mask")
+                              for i in (1, 2)}
+    feats.update(images_1=[], images_2=[], labels=[])
+    meta = {"src_item_id": [], "tgt_item_id": []}
+    max_length = (max_seq_len or 0) + (max_seq_len_pv or 0)
+    for row in rows:
+        (label, sid, _, s_title, s_pvs, tid, _, t_title, t_pvs) = row
+        img1 = image_loader(image_paths.get(sid, ""))
+        img2 = image_loader(image_paths.get(tid, ""))
+        if img1 is None or img2 is None:
+            continue
+        for i, (title, pvs) in enumerate(((s_title, s_pvs),
+                                          (t_title, t_pvs)), start=1):
+            text = build_item_text(title, pvs, tok.sep_token)
+            if bos:
+                text = f"{tok.bos_token} {text}"
+            enc = tok(text=text, max_length=max_length,
+                      padding="max_length", truncation="longest_first")
+            feats[f"input_ids_{i}"].append(enc["input_ids"])
+            feats[f"attention_mask_{i}"].append(enc["attention_mask"])
+        feats["images_1"].append(eval_transform(img1, image_size))
+        feats["images_2"].append(eval_transform(img2, image_size))
+        feats["labels"].append(int(label))
+        meta["src_item_id"].append(sid)
+        meta["tgt_item_id"].append(tid)
+    arrays = {k: np.asarray(v, np.int32) for k, v in feats.items()
+              if not k.startswith("images")}
+    for k in ("images_1", "images_2"):
+        arrays[k] = np.stack(feats[k]).astype(np.float32) if feats[k] else \
+            np.zeros((0, image_size, image_size, 3), np.float32)
+    return ArrayDataset(arrays, meta)
+
+
 def load_kg_tokenizers(entity2id_path: str, relation2id_path: str
                        ) -> Tuple[Dict[str, int], Dict[str, int]]:
     """Read ``entity2id.txt``/``relation2id.txt`` — plain ``name\\tid`` rows,

@@ -48,7 +48,8 @@ class Trainer:
 
     def __init__(self, model: nn.Module, config: TrainConfig,
                  mesh=None, params: Optional[Any] = None,
-                 example_batch: Optional[Dict[str, np.ndarray]] = None):
+                 example_batch: Optional[Dict[str, np.ndarray]] = None,
+                 log_dir: Optional[str] = None):
         self.model = model
         self.config = config
         self.mesh = mesh if mesh is not None else create_mesh(config.mesh)
@@ -56,8 +57,20 @@ class Trainer:
         self._example_batch = example_batch
         self._params = params
         self.state: Optional[TrainState] = None
+        self.best_params: Optional[Any] = None
         self._train_step = None
         self._eval_step = None
+        self.scalars = None
+        self.eval_writer = None
+        if log_dir:
+            from item_alignment_tpu.engine.observability import (
+                EvalWriter,
+                ScalarLogger,
+            )
+            self.scalars = ScalarLogger(os.path.join(log_dir, "scalars.jsonl"))
+            self.eval_writer = EvalWriter(
+                os.path.join(log_dir, "eval_results.csv"),
+                ["epoch", "step", "loss", "best_f1", "best_threshold"])
 
     # ------------------------------------------------------------- setup
     def _init_params(self, batch: Dict[str, np.ndarray]) -> Any:
@@ -127,6 +140,9 @@ class Trainer:
                 losses.append(float(loss))
                 logger.info(f"epoch {epoch} step {steps} loss {losses[-1]:.4f} "
                             f"({(time.time()-t0)/steps:.3f}s/step)")
+                if self.scalars is not None:
+                    self.scalars.add_scalar("train/loss", losses[-1],
+                                            int(self.state.step))
             if (cfg.eval_every_steps and valid_ds is not None
                     and steps % cfg.eval_every_steps == 0):
                 ev = self.evaluate(valid_ds)
@@ -215,6 +231,15 @@ class Trainer:
                     stale_evals += 1
                 logger.info(f"epoch {epoch}: loss {stats['loss']:.4f} "
                             f"f1 {ev.get('best_f1', float('nan')):.4f}")
+                if self.eval_writer is not None:
+                    self.eval_writer.write(
+                        epoch=epoch, step=int(self.state.step),
+                        loss=stats["loss"], best_f1=ev.get("best_f1"),
+                        best_threshold=ev.get("best_threshold"))
+                if self.scalars is not None:
+                    self.scalars.add_scalar("eval/best_f1",
+                                            ev.get("best_f1", 0.0),
+                                            int(self.state.step))
                 if (cfg.early_stopping_patience is not None
                         and stale_evals >= cfg.early_stopping_patience):
                     logger.info(f"early stopping after {stale_evals} stale evals")
