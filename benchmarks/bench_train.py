@@ -1,0 +1,88 @@
+"""Training-step throughput for the flagship RoBERTa-large one-tower
+cross-encoder (fwd+bwd+AdamW) on one chip, bf16 compute / fp32 params.
+
+Context: the reference's full 8-model `train.sh` took ~58h on an 80GB GPU
+(README.md:443-444); its flagship config is bs 40, seq 50+205, 10 epochs
+over ~65k pairs (~16k steps).  At the rate printed here you can estimate
+the single-chip wall-clock for the same run.
+
+Run manually: ``python benchmarks/bench_train.py [--remat]``.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--remat", action="store_true")
+    args = p.parse_args()
+
+    from item_alignment_tpu.config import ModelConfig
+    from item_alignment_tpu.models.text import RobertaOneTower
+
+    cfg = ModelConfig.roberta_large(
+        max_seq_len=50, max_seq_len_pv=205, dtype="bfloat16",
+        hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1,
+        remat=args.remat)
+    model = RobertaOneTower(cfg)
+    B, S, iters = args.batch_size, cfg.pair_seq_len, 4
+
+    rng = jax.random.PRNGKey(0)
+    ids = jax.random.randint(rng, (iters, B, S), 1, cfg.vocab_size, jnp.int32)
+    mask = jnp.ones((iters, B, S), jnp.int32)
+    labels = jnp.zeros((iters, B), jnp.int32)
+    params = jax.jit(model.init)({"params": rng, "dropout": rng},
+                                 ids[0], mask[0], labels=labels[0])
+    tx = optax.adamw(5e-5, b1=0.9, b2=0.98)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_n(params, opt_state, ids, masks, labels):
+        def body(carry, xml):
+            p, o = carry
+            x, m, l = xml
+
+            def loss_fn(p):
+                return model.apply(p, x, m, labels=l, deterministic=False,
+                                   rngs={"dropout": jax.random.PRNGKey(0)}).loss
+
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            u, o = tx.update(g, o, p)
+            return (optax.apply_updates(p, u), o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (ids, masks, labels))
+        return params, opt_state, losses[-1]
+
+    params, opt_state, loss = train_n(params, opt_state, ids, mask, labels)
+    np.asarray(loss)  # sync
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        params, opt_state, loss = train_n(params, opt_state, ids, mask, labels)
+        np.asarray(loss)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    pairs_per_sec = B * iters / dt
+    print(json.dumps({
+        "metric": "roberta_large_one_tower_train",
+        "pairs_per_sec": round(pairs_per_sec, 1),
+        "ms_per_step": round(dt / iters * 1000, 1),
+        "batch_size": B,
+        "remat": args.remat,
+        # ~65k train pairs x 10 epochs at this batch size
+        "flagship_10epoch_est_hours": round(
+            (650_000 / B) * (dt / iters) / 3600, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

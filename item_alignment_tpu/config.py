@@ -102,6 +102,9 @@ class ModelConfig:
     # --- numerics ---
     dtype: str = "float32"                    # compute dtype: float32|bfloat16
     use_flash_attention: bool = True          # Pallas kernel on TPU when legal
+    remat: bool = False                       # rematerialize encoder layers
+                                              # (jax.checkpoint) to cut HBM
+                                              # use during training
 
     # ------------------------------------------------------------------
     @property

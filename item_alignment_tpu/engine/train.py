@@ -90,6 +90,12 @@ class Trainer:
         state = TrainState.create(apply_fn=self.model.apply, params=params,
                                   tx=tx, dropout_rng=dropout_rng)
         # place the full state (opt moments follow the param shardings)
+        data_size = int(self.mesh.shape.get("data", 1))
+        for bs_name in ("train_batch_size", "eval_batch_size"):
+            bs = getattr(self.config, bs_name)
+            assert bs % data_size == 0, (
+                f"{bs_name}={bs} must be divisible by the mesh data axis "
+                f"({data_size} devices); adjust the batch size or the mesh")
         state_shardings = tree_shardings(state, self.mesh)
         self.state = jax.device_put(state, state_shardings)
         self._state_shardings = state_shardings

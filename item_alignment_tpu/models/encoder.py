@@ -103,9 +103,15 @@ class TransformerEncoder(nn.Module):
         bias = None
         if attention_mask is not None:
             bias = make_attention_bias(attention_mask, dtype=jnp.float32)
+        layer_cls = TransformerLayer
+        if cfg.remat:
+            # trade recompute for HBM: activations rematerialized in the
+            # backward pass (replaces torch gradient checkpointing)
+            layer_cls = nn.remat(TransformerLayer,
+                                 static_argnums=(3,))  # deterministic
         states = [hidden]
         for i in range(cfg.num_hidden_layers):
-            hidden = TransformerLayer(cfg, name=f"layer_{i}")(hidden, bias, deterministic)
+            hidden = layer_cls(cfg, name=f"layer_{i}")(hidden, bias, deterministic)
             states.append(hidden)
         return states
 

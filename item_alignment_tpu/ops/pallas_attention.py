@@ -45,8 +45,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
         o_ref[0, :, sl] = (o / denom).astype(o_ref.dtype)
 
 
-@jax.jit
-def fused_attention(
+def _fused_attention_impl(
     q: jax.Array,  # [B, S, N, H]
     k: jax.Array,
     v: jax.Array,
@@ -79,3 +78,36 @@ def fused_attention(
         ),
     )(qt, kt, vt, bias_rows)
     return out.reshape(B, S, N, H)
+
+
+# custom VJP: fast Pallas forward, XLA-recompute backward (pallas_call has
+# no autodiff rule; the backward re-derives gradients through the plain
+# attention formulation — same numerics, remat-style memory profile)
+@jax.custom_vjp
+def fused_attention(q, k, v, bias=None):
+    return _fused_attention_impl(q, k, v, bias)
+
+
+def _reference_attention(q, k, v, bias):
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    scores = jnp.einsum("bsnh,btnh->bnst", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bnst,btnh->bsnh", probs, v)
+
+
+def _fused_attention_fwd(q, k, v, bias):
+    return _fused_attention_impl(q, k, v, bias), (q, k, v, bias)
+
+
+def _fused_attention_bwd(res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _reference_attention(q_, k_, v_, bias),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)

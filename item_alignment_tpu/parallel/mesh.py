@@ -29,6 +29,12 @@ def create_mesh(
 ) -> Mesh:
     config = config or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
+    if config.data != -1:
+        # fully explicit mesh: take just the devices it needs
+        need = config.data * max(config.fsdp, 1) * max(config.tensor, 1)
+        assert need <= len(devices), (
+            f"mesh needs {need} devices, only {len(devices)} available")
+        devices = devices[:need]
     data, fsdp, tensor = config.axis_sizes(len(devices))
     arr = np.array(devices).reshape(data, fsdp, tensor)
     return Mesh(arr, AXES)

@@ -1,10 +1,14 @@
 """Test config: force an 8-device CPU mesh so pjit/sharding tests run
-without TPU hardware (the standard JAX recipe, see SURVEY.md §4)."""
+without TPU hardware (the standard JAX recipe, see SURVEY.md §4).
+
+NB the environment's sitecustomize imports jax at interpreter startup
+(before this file), so env vars alone are too late: ``jax.config.update``
+overrides the captured ``JAX_PLATFORMS=axon``; XLA_FLAGS is still read
+lazily at first backend init, so setting it here works.
+"""
 
 import os
 
-# NB: JAX_PLATFORMS is ignored by this environment's TPU plugin;
-# JAX_PLATFORM_NAME is honored.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -13,6 +17,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import jax  # noqa: E402
+import jax  # noqa: E402  (already imported by sitecustomize; config wins)
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu", (
+        f"tests must run on CPU, got {jax.default_backend()}")
+    assert jax.device_count() == 8, (
+        f"expected 8 forced CPU devices, got {jax.device_count()}")

@@ -43,7 +43,7 @@ def test_finetune_image_cli(tmp_path, capsys):
                "--output_dir", str(tmp_path / "out"),
                "--model_name", "resnet_tiny", "--shards", *shards,
                "--image_size", "32", "--train_batch_size", "4",
-               "--eval_batch_size", "4", "--epochs", "1",
+               "--eval_batch_size", "4", "--epochs", "1", "--mesh", "1,1,1",
                "--do_train", "--do_pred"])
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()
@@ -71,7 +71,8 @@ def test_finetune_multimodal_cli(tmp_path, vocab_dir, tiny_cfg, capsys):
                "--image_hidden_size", "8",
                "--max_seq_len", "6", "--max_seq_len_pv", "6",
                "--train_batch_size", "3", "--eval_batch_size", "3",
-               "--epochs", "1", "--do_train", "--do_pred"])
+               "--epochs", "1", "--mesh", "1,1,1",
+               "--do_train", "--do_pred"])
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()
     pred = json.loads(out[-1])
