@@ -552,10 +552,14 @@ def cmd_finetune_multimodal(argv: List[str]) -> int:
     p.add_argument("--image_hidden_size", type=int, default=3072)
     p.add_argument("--ensemble", default="begin",
                    choices=["begin", "end", "sum", "cross_attn"])
+    p.add_argument("--images_dir", default=None,
+                   help="item images dir (<item_id>.jpg/png) for coca models")
+    p.add_argument("--image_size", type=int, default=224)
     args = p.parse_args(argv)
 
     from item_alignment_tpu.data.native_loader import read_tsv_fast
     from item_alignment_tpu.data.tokenization import (
+        build_multimodal_pair_dataset,
         load_text_tokenizer,
         rows_to_image_one_tower_dataset,
     )
@@ -564,13 +568,33 @@ def cmd_finetune_multimodal(argv: List[str]) -> int:
 
     tok = load_text_tokenizer(args.vocab_path)
     cfg = _model_config(args, vocab_size=len(tok), ensemble=args.ensemble,
-                        image_hidden_size=args.image_hidden_size)
+                        image_hidden_size=args.image_hidden_size,
+                        image_size=args.image_size)
+    is_coca = "coca" in args.model_name
 
     def build_ds(fname):
         path = os.path.join(args.data_dir, fname)
         if not os.path.exists(path):
             return None
         rows = read_tsv_fast(path)
+        if is_coca:
+            assert args.images_dir, "coca finetune needs --images_dir"
+            from item_alignment_tpu.data.images import load_image
+            from item_alignment_tpu.data.prepare import read_finetune_tsv
+
+            rows9 = read_finetune_tsv(path)
+            item_ids = {r[1] for r in rows9} | {r[5] for r in rows9}
+            paths = {}
+            for iid in item_ids:
+                for ext in (".jpg", ".png", ".jpeg"):
+                    cand = os.path.join(args.images_dir, iid + ext)
+                    if os.path.exists(cand):
+                        paths[iid] = cand
+                        break
+            return build_multimodal_pair_dataset(
+                rows9, tok, load_image, paths, cfg.max_seq_len,
+                cfg.max_seq_len_pv, cfg.image_size,
+                bos=(cfg.ensemble == "sum"))
         return rows_to_image_one_tower_dataset(
             rows, tok, cfg.max_seq_len, cfg.max_seq_len_pv,
             args.image_hidden_size)

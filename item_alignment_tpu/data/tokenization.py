@@ -237,42 +237,70 @@ def encode_image_one_tower(tok, src_text: str, tgt_text: str, max_length: int
 
 
 # ----------------------------------------------------------- dataset build
+def _encode_one_tower_row(row, tok, max_seq_len, max_seq_len_pv,
+                          classification_method, auxiliary_task, max_pairs):
+    """Module-level row encoder (picklable for multiprocessing)."""
+    (label, src_item_id, _, src_title, src_pvs,
+     tgt_item_id, _, tgt_title, tgt_pvs) = row
+    if max_seq_len is None:
+        src_text, tgt_text, max_length = src_pvs, tgt_pvs, max_seq_len_pv
+    elif max_seq_len_pv is None:
+        src_text, tgt_text, max_length = src_title, tgt_title, max_seq_len
+    else:
+        src_text = build_item_text(src_title, src_pvs, tok.sep_token)
+        tgt_text = build_item_text(tgt_title, tgt_pvs, tok.sep_token)
+        max_length = max_seq_len + max_seq_len_pv
+    if classification_method == "vec_sim":
+        enc = encode_one_tower_vec_sim(tok, src_text, tgt_text, max_length)
+    else:
+        enc = encode_one_tower_cls(tok, src_text, tgt_text, max_length)
+    enc["labels"] = int(label)
+    if auxiliary_task:
+        enc["pair_spans"] = extract_pair_indices(
+            enc["input_ids"], tok.sep_token_id, max_pairs)
+    enc["src_item_id"] = src_item_id
+    enc["tgt_item_id"] = tgt_item_id
+    return enc
+
+
 def rows_to_one_tower_dataset(
     rows: Sequence, tok, max_seq_len: Optional[int], max_seq_len_pv: Optional[int],
     classification_method: str = "cls", auxiliary_task: bool = False,
-    max_pairs: int = 32,
+    max_pairs: int = 32, num_workers: int = 0,
 ) -> ArrayDataset:
     """TSV rows (label, src_id, src_cate, src_title, src_pvs, tgt_id,
     tgt_cate, tgt_title, tgt_pvs) -> fixed arrays (RobertaOneTowerDataset,
-    data.py:519-620)."""
+    data.py:519-620).
+
+    ``num_workers > 1`` fans the tokenization out over processes — the
+    reference instead re-tokenizes every sample in DataLoader workers each
+    epoch; here it happens exactly once, offline.
+    """
+    import functools
+
+    encode = functools.partial(
+        _encode_one_tower_row, tok=tok, max_seq_len=max_seq_len,
+        max_seq_len_pv=max_seq_len_pv,
+        classification_method=classification_method,
+        auxiliary_task=auxiliary_task, max_pairs=max_pairs)
+    if num_workers > 1 and len(rows) >= 4 * num_workers:
+        import multiprocessing as mp
+
+        with mp.get_context("fork").Pool(num_workers) as pool:
+            encs = pool.map(encode, rows, chunksize=64)
+    else:
+        encs = [encode(row) for row in rows]
+
     feats: Dict[str, list] = {"input_ids": [], "token_type_ids": [],
                               "attention_mask": [], "labels": []}
     if auxiliary_task:
         feats["pair_spans"] = []
     meta = {"src_item_id": [], "tgt_item_id": []}
-    for row in rows:
-        (label, src_item_id, _, src_title, src_pvs,
-         tgt_item_id, _, tgt_title, tgt_pvs) = row
-        if max_seq_len is None:
-            src_text, tgt_text, max_length = src_pvs, tgt_pvs, max_seq_len_pv
-        elif max_seq_len_pv is None:
-            src_text, tgt_text, max_length = src_title, tgt_title, max_seq_len
-        else:
-            src_text = build_item_text(src_title, src_pvs, tok.sep_token)
-            tgt_text = build_item_text(tgt_title, tgt_pvs, tok.sep_token)
-            max_length = max_seq_len + max_seq_len_pv
-        if classification_method == "vec_sim":
-            enc = encode_one_tower_vec_sim(tok, src_text, tgt_text, max_length)
-        else:
-            enc = encode_one_tower_cls(tok, src_text, tgt_text, max_length)
-        for k in ("input_ids", "token_type_ids", "attention_mask"):
+    for enc in encs:
+        for k in feats:
             feats[k].append(enc[k])
-        feats["labels"].append(int(label))
-        if auxiliary_task:
-            feats["pair_spans"].append(
-                extract_pair_indices(enc["input_ids"], tok.sep_token_id, max_pairs))
-        meta["src_item_id"].append(src_item_id)
-        meta["tgt_item_id"].append(tgt_item_id)
+        meta["src_item_id"].append(enc["src_item_id"])
+        meta["tgt_item_id"].append(enc["tgt_item_id"])
     arrays = {k: np.asarray(v, dtype=np.int32) for k, v in feats.items()}
     return ArrayDataset(arrays, meta)
 
