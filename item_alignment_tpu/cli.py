@@ -203,6 +203,12 @@ def cmd_finetune_text(argv: List[str]) -> int:
         if rows is None:
             return None
         if "pkgm" in args.model_name:
+            if args.interaction_type == "two_tower":
+                from item_alignment_tpu.data.tokenization import (
+                    rows_to_pkgm_two_tower_dataset,
+                )
+                return rows_to_pkgm_two_tower_dataset(
+                    rows, tok, kg_ent, kg_rel, cfg.max_seq_len, cfg.max_pvs)
             return rows_to_pkgm_dataset(rows, tok, kg_ent, kg_rel,
                                         cfg.max_seq_len, cfg.max_pvs,
                                         cfg.classification_method)

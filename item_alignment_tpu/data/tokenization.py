@@ -168,9 +168,17 @@ def _pad_kg_sequence(ids: List[int], token_type_id: int, max_pvs: int):
 def encode_pkgm_item(tok, kg_ent: Dict[str, int], kg_rel: Dict[str, int],
                      item_id: str, title: str, pvs: str, max_seq_len: int,
                      max_pvs: int, token_type_id: int = 0,
-                     leading_token: Optional[str] = None):
+                     leading_token: Optional[str] = None,
+                     kg_token_type_id: Optional[int] = None):
     """One PKGM item: text ids (max_seq_len) + kg ids (1+max_pvs) in id-space;
-    mask/token-types in embedded space (max_seq_len + 2*max_pvs)."""
+    mask/token-types in embedded space (max_seq_len + 2*max_pvs).
+
+    One-tower uses one token type for both parts (0 src / 1 tgt,
+    data.py:328-341); two-tower uses text 0 / kg 1 (data.py:430-445) via
+    ``kg_token_type_id``.
+    """
+    if kg_token_type_id is None:
+        kg_token_type_id = token_type_id
     title_ids = tok.convert_tokens_to_ids(tok.tokenize(title))[: max_seq_len - 2]
     lead = tok.cls_token_id if leading_token is None else \
         tok.convert_tokens_to_ids(leading_token)
@@ -190,7 +198,7 @@ def encode_pkgm_item(tok, kg_ent: Dict[str, int], kg_rel: Dict[str, int],
     if rel_ids:
         kg_ids = [kg_ent.get(f"/item/{item_id}", 0)] + rel_ids
     kg_ids = kg_ids[: 1 + max_pvs]
-    kg_ids, kg_mask, kg_tt = _pad_kg_sequence(kg_ids, token_type_id, max_pvs)
+    kg_ids, kg_mask, kg_tt = _pad_kg_sequence(kg_ids, kg_token_type_id, max_pvs)
 
     return (text_ids + kg_ids, text_mask + kg_mask, text_tt + kg_tt)
 
@@ -388,6 +396,40 @@ def rows_to_pkgm_dataset(rows, tok, kg_ent, kg_rel, max_seq_len: int,
         meta["src_item_id"].append(row[1])
         meta["tgt_item_id"].append(row[5])
     arrays = {k: np.asarray(v, dtype=np.int32) for k, v in feats.items()}
+    return ArrayDataset(arrays, meta)
+
+
+def rows_to_pkgm_two_tower_dataset(rows, tok, kg_ent, kg_rel,
+                                   max_seq_len: int, max_pvs: int
+                                   ) -> ArrayDataset:
+    """Per-item PKGM layouts for the two-tower model
+    (PKGMTwoTowerDataset, data.py:394-516): each side gets its own
+    id-space ids + embedded-space masks; positions are shared."""
+    feats = {f"{k}_{i}": [] for k in ("input_ids", "attention_mask",
+                                      "token_type_ids") for i in (1, 2)}
+    feats["labels"] = []
+    embed_len = max_seq_len + 2 * max_pvs
+    position_ids = list(range(embed_len))
+    pos_rows = []
+    meta = {"src_item_id": [], "tgt_item_id": []}
+    for row in rows:
+        (label, src_item_id, _, src_title, src_pvs,
+         tgt_item_id, _, tgt_title, tgt_pvs) = row
+        for i, (iid, title, pvs, tt) in enumerate(
+                ((src_item_id, src_title, src_pvs, 0),
+                 (tgt_item_id, tgt_title, tgt_pvs, 0)), start=1):
+            ids, mask, ttids = encode_pkgm_item(
+                tok, kg_ent, kg_rel, iid, title, pvs, max_seq_len, max_pvs,
+                token_type_id=tt, kg_token_type_id=1)
+            feats[f"input_ids_{i}"].append(ids)
+            feats[f"attention_mask_{i}"].append(mask)
+            feats[f"token_type_ids_{i}"].append(ttids)
+        feats["labels"].append(int(label))
+        pos_rows.append(position_ids)
+        meta["src_item_id"].append(src_item_id)
+        meta["tgt_item_id"].append(tgt_item_id)
+    arrays = {k: np.asarray(v, np.int32) for k, v in feats.items()}
+    arrays["position_ids"] = np.asarray(pos_rows, np.int32)
     return ArrayDataset(arrays, meta)
 
 

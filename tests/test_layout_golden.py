@@ -129,6 +129,29 @@ def test_pkgm_layout_matches_reference(ref_data, tokenizer):
                 ours.arrays[key][i], ref[key], err_msg=f"row {i} {key}")
 
 
+def test_pkgm_two_tower_layout_matches_reference(ref_data, tokenizer):
+    from item_alignment_tpu.data.tokenization import (
+        rows_to_pkgm_two_tower_dataset,
+    )
+
+    kg_ent = {f"/item/{r[1]}": 10 + i for i, r in enumerate(ROWS)}
+    kg_ent.update({f"/item/{r[5]}": 20 + i for i, r in enumerate(ROWS)})
+    kg_rel = {"品牌": 1, "容量": 2, "型号": 3, "规格": 4}
+    ref_ds = ref_data.PKGMTwoTowerDataset(ROWS, tokenizer, kg_ent, kg_rel,
+                                          max_seq_en=10, max_pvs=4)
+    ours = rows_to_pkgm_two_tower_dataset(ROWS, tokenizer, kg_ent, kg_rel,
+                                          max_seq_len=10, max_pvs=4)
+    for i in range(len(ROWS)):
+        ref = ref_ds[i]
+        for side in (1, 2):
+            for key in ("input_ids", "attention_mask", "token_type_ids"):
+                np.testing.assert_array_equal(
+                    ours.arrays[f"{key}_{side}"][i], ref[f"{key}_{side}"],
+                    err_msg=f"row {i} {key}_{side}")
+        np.testing.assert_array_equal(ours.arrays["position_ids"][i],
+                                      ref["position_ids"])
+
+
 def test_two_tower_title_pv_text_construction(ref_data, tokenizer):
     """Two-tower per-item text must be `title [SEP] jieba(pvs)` tokenized to
     max_len (RobertaTwoTowerDataset, data.py:786-832)."""
