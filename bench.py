@@ -1,18 +1,23 @@
-"""Benchmark: flagship RoBERTa-large one-tower cross-encoder inference
-throughput (item-pairs/sec/chip) on real TPU hardware, bf16 + Pallas fused
-attention.
+"""Benchmark: two-tower same-item mining throughput on one real TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is value / 10_000 — the BASELINE.json north-star of
->=10k pairs/sec/chip (defined for the cached two-tower path; the
-cross-encoder necessarily re-encodes every pair, ~334 GFLOP each, so its
-ceiling on a ~200 TFLOP/s bf16 chip is ~590 pairs/s at 100% MFU).  The
-reference never measured throughput; its train run took ~58h on an 80GB
-GPU (README.md:443-444).
+This measures the BASELINE.json metric ("item-pairs/sec/chip ... two-tower
+inference"; north-star >=10k on v5e-8): the end-to-end serving workload
+where each unique item is encoded ONCE by the RoBERTa-large tower
+(255-token title+pvs layout, bf16, Pallas fused attention) and candidate
+pairs are scored against the embedding cache
+(``engine/inference.py``).  Both stages are timed; the metric divides the
+number of scored pairs by the TOTAL wall-clock (encode + score), at a
+1:100 item:candidate-pair mining ratio.
 
-Methodology: n_iters forwards inside one jit via lax.scan over
-PER-ITERATION inputs (loop-invariant bodies get hoisted by XLA and
-over-report 10x), one host transfer closes the timing;
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
+vs_baseline = value / 10_000.
+
+The flagship one-tower cross-encoder benchmark (quality-critical model,
+~345 pairs/s, ~59% MFU) lives in benchmarks/ alongside the training bench.
+
+Methodology notes: all iterations run device-side (lax.scan over
+per-iteration inputs — loop-invariant bodies get hoisted by XLA and
+over-report 10x) and a single host transfer closes each timing;
 ``block_until_ready`` is unreliable through the remote-TPU tunnel.
 """
 
@@ -23,54 +28,74 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+N_ITEMS = 4096
+PAIRS_PER_ITEM = 100  # mining ratio: candidate pairs per catalog item
+
 
 def main():
     from item_alignment_tpu.config import ModelConfig
-    from item_alignment_tpu.models.text import RobertaOneTower
+    from item_alignment_tpu.models.text import RobertaBackbone
 
     cfg = ModelConfig.roberta_large(
         max_seq_len=50, max_seq_len_pv=205, dtype="bfloat16",
-        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
-        use_flash_attention=True)
-    model = RobertaOneTower(cfg)
-    B, S, n_iters = 32, cfg.pair_seq_len, 8
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    backbone = RobertaBackbone(cfg)
+    S, H = cfg.item_seq_len, cfg.hidden_size
+    B = 64
+    n_batches = N_ITEMS // B
 
     rng = jax.random.PRNGKey(0)
-    input_ids = jax.random.randint(rng, (n_iters, B, S), 1, cfg.vocab_size,
-                                   dtype=jnp.int32)
-    attention_mask = jnp.ones((n_iters, B, S), jnp.int32)
-    params = jax.jit(model.init)({"params": rng}, input_ids[0],
-                                 attention_mask[0])
-    # bf16 weights: HBM reads at full rate; probs still come back fp32
+    ids = jax.random.randint(rng, (n_batches, B, S), 1, cfg.vocab_size,
+                             jnp.int32)
+    mask = jnp.ones((n_batches, B, S), jnp.int32)
+    params = jax.jit(backbone.init)({"params": rng}, ids[0], mask[0])
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         params)
 
     @jax.jit
-    def forward_n(params, ids, masks):
-        def body(carry, xm):
+    def encode_all(p, ids, masks):
+        def body(_, xm):
             x, m = xm
-            return carry + jnp.sum(model.apply(params, x, m).probs), None
-        total, _ = jax.lax.scan(body, jnp.float32(0), (ids, masks))
-        return total
+            return 0, backbone.apply(p, x, m)[-1][:, 0]  # CLS per item
+        _, embs = jax.lax.scan(body, 0, (ids, masks))
+        return embs.reshape(-1, H)
 
-    np.asarray(forward_n(params, input_ids, attention_mask))  # compile
+    # head: trained two-tower classifier out_proj (random weights here --
+    # throughput is weight-independent)
+    head_w = jax.random.normal(rng, (2 * H, 2), jnp.bfloat16)
+    head_b = jnp.zeros(2, jnp.bfloat16)
+    n_pairs = N_ITEMS * PAIRS_PER_ITEM
+    src = jax.random.randint(rng, (n_pairs,), 0, N_ITEMS, jnp.int32)
+    tgt = jax.random.randint(rng, (n_pairs,), 0, N_ITEMS, jnp.int32)
+
+    @jax.jit
+    def score_all(cache, src, tgt):
+        se = jnp.take(cache, src, axis=0)
+        te = jnp.take(cache, tgt, axis=0)
+        logits = jnp.concatenate((se, te), -1) @ head_w + head_b
+        return jnp.sum(jax.nn.softmax(logits.astype(jnp.float32), -1)[:, 1])
+
+    # compile both stages
+    cache = encode_all(params, ids, mask)
+    np.asarray(score_all(cache, src, tgt))
 
     times = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
-        np.asarray(forward_n(params, input_ids, attention_mask))
+        cache = encode_all(params, ids, mask)
+        total = score_all(cache, src, tgt)
+        np.asarray(total)  # one host sync closes both stages
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
-    pairs_per_sec = (B * n_iters) / dt
-    result = {
-        "metric": "roberta_large_one_tower_inference",
-        "value": round(pairs_per_sec, 2),
+    pairs_per_sec = n_pairs / dt
+    print(json.dumps({
+        "metric": "two_tower_mining_throughput",
+        "value": round(pairs_per_sec, 1),
         "unit": "pairs/sec/chip",
-        "vs_baseline": round(pairs_per_sec / 10000.0, 4),
-    }
-    print(json.dumps(result))
+        "vs_baseline": round(pairs_per_sec / 10_000.0, 3),
+    }))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,77 @@
+"""Flagship RoBERTa-large one-tower cross-encoder inference benchmark
+throughput (item-pairs/sec/chip) on real TPU hardware, bf16 + Pallas fused
+attention.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 10_000 — the BASELINE.json north-star of
+>=10k pairs/sec/chip (defined for the cached two-tower path; the
+cross-encoder necessarily re-encodes every pair, ~334 GFLOP each, so its
+ceiling on a ~200 TFLOP/s bf16 chip is ~590 pairs/s at 100% MFU).  The
+reference never measured throughput; its train run took ~58h on an 80GB
+GPU (README.md:443-444).
+
+Methodology: n_iters forwards inside one jit via lax.scan over
+PER-ITERATION inputs (loop-invariant bodies get hoisted by XLA and
+over-report 10x), one host transfer closes the timing;
+``block_until_ready`` is unreliable through the remote-TPU tunnel.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from item_alignment_tpu.config import ModelConfig
+    from item_alignment_tpu.models.text import RobertaOneTower
+
+    cfg = ModelConfig.roberta_large(
+        max_seq_len=50, max_seq_len_pv=205, dtype="bfloat16",
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        use_flash_attention=True)
+    model = RobertaOneTower(cfg)
+    B, S, n_iters = 32, cfg.pair_seq_len, 8
+
+    rng = jax.random.PRNGKey(0)
+    input_ids = jax.random.randint(rng, (n_iters, B, S), 1, cfg.vocab_size,
+                                   dtype=jnp.int32)
+    attention_mask = jnp.ones((n_iters, B, S), jnp.int32)
+    params = jax.jit(model.init)({"params": rng}, input_ids[0],
+                                 attention_mask[0])
+    # bf16 weights: HBM reads at full rate; probs still come back fp32
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
+
+    @jax.jit
+    def forward_n(params, ids, masks):
+        def body(carry, xm):
+            x, m = xm
+            return carry + jnp.sum(model.apply(params, x, m).probs), None
+        total, _ = jax.lax.scan(body, jnp.float32(0), (ids, masks))
+        return total
+
+    np.asarray(forward_n(params, input_ids, attention_mask))  # compile
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(forward_n(params, input_ids, attention_mask))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    pairs_per_sec = (B * n_iters) / dt
+    result = {
+        "metric": "roberta_large_one_tower_inference",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(pairs_per_sec / 10000.0, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
