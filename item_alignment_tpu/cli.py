@@ -121,7 +121,11 @@ def _train_config(args, steps_per_epoch: int) -> TrainConfig:
             learning_rate=args.learning_rate,
             weight_decay=args.weight_decay,
             warmup_proportion=args.warmup_proportion,
-            total_steps=max(steps_per_epoch * args.epochs, 1),
+            # MultiSteps only advances the schedule once per k mini-batches,
+            # so the schedule length counts OPTIMIZER updates
+            # (finetune_text.py:325-329 divides the same way)
+            total_steps=max(steps_per_epoch * args.epochs
+                            // max(args.gradient_accumulation_steps, 1), 1),
             grad_accumulation_steps=args.gradient_accumulation_steps),
     )
 
@@ -237,14 +241,15 @@ def cmd_finetune_text(argv: List[str]) -> int:
         result = trainer.fit(train_ds, valid_ds)
         _save_epoch_params(trainer, out_dir, args.epochs)
         print(json.dumps({"best": result["best"]}))
-    if args.do_eval and valid_ds is not None:
+    if args.do_eval and valid_ds is not None and len(valid_ds) > 0:
         if trainer.state is None:
             trainer.setup(next(valid_ds.batches(args.eval_batch_size))[0])
             _maybe_restore(trainer, args)
         ev = trainer.evaluate(valid_ds)
-        print(json.dumps({"sweep": ev["sweep"], "best_f1": ev["best_f1"],
-                          "best_threshold": ev["best_threshold"]}))
-    if args.do_pred and valid_ds is not None:
+        print(json.dumps({"sweep": ev.get("sweep", []),
+                          "best_f1": ev.get("best_f1"),
+                          "best_threshold": ev.get("best_threshold")}))
+    if args.do_pred and valid_ds is not None and len(valid_ds) > 0:
         if trainer.state is None:
             trainer.setup(next(valid_ds.batches(args.eval_batch_size))[0])
             _maybe_restore(trainer, args)
@@ -280,7 +285,9 @@ def _load_pretrained(trainer, cfg, args) -> None:
             _overlay(params["params"]["roberta"][k], tree[k])
     else:
         params = import_hf_roberta(params, sd, cfg)
-    trainer.state = trainer.state.replace(params=params["params"])
+    from item_alignment_tpu.parallel.sharding import shard_params
+    trainer.state = trainer.state.replace(
+        params=shard_params(params["params"], trainer.mesh))
     logger.info("loaded pretrained encoder weights")
 
 
@@ -297,7 +304,9 @@ def _maybe_restore(trainer, args) -> None:
         from item_alignment_tpu.engine.checkpoint import load_params
 
         params = load_params(args.file_state_dict, trainer.state.params)
-        trainer.state = trainer.state.replace(params=params)
+        from item_alignment_tpu.parallel.sharding import shard_params
+        trainer.state = trainer.state.replace(
+            params=shard_params(params, trainer.mesh))
 
 
 def cmd_pkgm_pretrain(argv: List[str]) -> int:
@@ -680,22 +689,23 @@ def cmd_finetune_graph(argv: List[str]) -> int:
     opt = tx.init(params)
 
     @jax.jit
-    def step(p, o, s, t, l):
+    def step(p, o, s, t, l, rng):
         loss, g = jax.value_and_grad(
             lambda p: model.apply(p, feats_j, ei, ew, s, t, labels=l,
                                   deterministic=False,
-                                  rngs={"dropout": jax.random.PRNGKey(0)}
-                                  ).loss)(p)
+                                  rngs={"dropout": rng}).loss)(p)
         u, o = tx.update(g, o, p)
         return optax.apply_updates(p, u), o, loss
 
+    rng = jax.random.PRNGKey(1)
     for epoch in range(args.epochs):
         order = np.random.RandomState(epoch).permutation(len(tr_src))
         for s0 in range(0, len(order) - bs + 1, bs):
             idx = order[s0:s0 + bs]
+            rng, k = jax.random.split(rng)
             params, opt, loss = step(params, opt, jnp.asarray(tr_src[idx]),
                                      jnp.asarray(tr_tgt[idx]),
-                                     jnp.asarray(tr_lab[idx]))
+                                     jnp.asarray(tr_lab[idx]), k)
         if epoch % 10 == 0:
             logger.info(f"[gcn] epoch {epoch} loss {float(loss):.4f}")
 
@@ -858,7 +868,7 @@ def cmd_finetune_bert(argv: List[str]) -> int:
                                pvs_noise=deltas["pvs"],
                                title_noise=deltas["title"],
                                deterministic=False,
-                               rngs={"dropout": jax.random.PRNGKey(0)}).loss
+                               rngs={"dropout": batch["dropout_rng"]}).loss
         astep = make_adversarial_step(loss_fn, tx, args.adversarial,
                                       args.epsilon, args.alpha)
         deltas = {
@@ -884,9 +894,10 @@ def cmd_finetune_bert(argv: List[str]) -> int:
                       for k, v in unflatten_fields(batch).items()}
             rng, k = jax.random.split(rng)
             if args.adversarial:
+                rng, k2 = jax.random.split(rng)
                 params, opt, deltas, loss = astep(
                     params, opt, deltas, k,
-                    {"fields": fields, "labels": labels})
+                    {"fields": fields, "labels": labels, "dropout_rng": k2})
             else:
                 params, opt, loss = step(params, opt, fields, labels, k)
         logger.info(f"[bert] epoch {epoch} loss {float(loss):.4f}")

@@ -40,6 +40,8 @@ def load_text_tokenizer(path_or_name: str):
     from transformers import BertTokenizer
 
     tok = BertTokenizer.from_pretrained(path_or_name)
+    tok.do_basic_tokenize = False  # finetune_text.py:188 — wordpiece only,
+    # so [unused99] image tokens survive and Chinese text is not re-split
     tok.add_special_tokens({"bos_token": BOS_TOKEN})
     return tok
 

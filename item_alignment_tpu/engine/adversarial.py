@@ -34,11 +34,15 @@ def pgd_update(rng: jax.Array, delta: jax.Array, grad: jax.Array,
 
 def mix_update(rng: jax.Array, delta: jax.Array, grad: jax.Array,
                epsilon: float, alpha: float,
-               p_free: float = 0.15, p_pgd: float = 0.45
+               p_free: float = 0.15, p_pgd: float = 0.45,
+               u: Optional[jax.Array] = None
                ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (new_delta, active) where active=0 disables noise next step."""
+    """Returns (new_delta, active) where active=0 disables noise next step.
+    One shared draw ``u`` per step decides FREE/PGD/off for ALL deltas
+    (the reference draws a single rand, finetune_bert.py:486)."""
     k1, k2 = jax.random.split(rng)
-    u = jax.random.uniform(k1)
+    if u is None:
+        u = jax.random.uniform(k1)
     new_delta = jax.lax.cond(
         u < p_free,
         lambda: free_update(delta, grad, epsilon),
@@ -57,6 +61,12 @@ def make_adversarial_step(loss_fn: Callable, tx, mode: str = "FREE",
 
     ``loss_fn(params, deltas, batch) -> scalar``; ``deltas`` is a pytree of
     noise arrays (e.g. {"pvs": [B,512,H], "title": [B,150,H]}).
+
+    MIX semantics (finetune_bert.py:486-512): a SINGLE uniform draw per
+    step picks FREE (<0.15), PGD (<0.45) or "noise off" — on the off
+    branch the next step's applied noise is zeroed (the stored deltas are
+    kept, matching the reference which keeps the tensors but skips
+    applying them for one step).
     """
     import optax
 
@@ -68,9 +78,10 @@ def make_adversarial_step(loss_fn: Callable, tx, mode: str = "FREE",
         updates, opt_state = tx.update(pgrads, opt_state, params)
         params = optax.apply_updates(params, updates)
 
-        keys = jax.random.split(rng, len(jax.tree_util.tree_leaves(deltas)))
+        n_leaves = len(jax.tree_util.tree_leaves(deltas))
+        keys = jax.random.split(rng, n_leaves + 1)
         key_tree = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(deltas), list(keys))
+            jax.tree_util.tree_structure(deltas), list(keys[:n_leaves]))
         if mode == "FREE":
             deltas = jax.tree_util.tree_map(
                 lambda d, g: free_update(d, g, epsilon), deltas, dgrads)
@@ -79,8 +90,12 @@ def make_adversarial_step(loss_fn: Callable, tx, mode: str = "FREE",
                 lambda k, d, g: pgd_update(k, d, g, epsilon, alpha),
                 key_tree, deltas, dgrads)
         elif mode == "MIX":
+            u = jax.random.uniform(keys[-1])  # one draw for all deltas
+            active = (u < 0.45).astype(jnp.float32)
+            # zero the APPLIED noise next step when inactive
             deltas = jax.tree_util.tree_map(
-                lambda k, d, g: mix_update(k, d, g, epsilon, alpha)[0],
+                lambda k, d, g: mix_update(k, d, g, epsilon, alpha, u=u)[0]
+                * active,
                 key_tree, deltas, dgrads)
         else:
             raise ValueError(f"unknown adversarial mode {mode}")

@@ -71,6 +71,12 @@ def load_params(path: str, like: Any) -> Any:
         return serialization.from_bytes(like, f.read())
 
 
+def _copy_dicts(node):
+    if isinstance(node, dict):
+        return {k: _copy_dicts(v) for k, v in node.items()}
+    return node
+
+
 def merge_param_sources(base: Any, *overlays: Dict[str, Any]) -> Any:
     """Multi-source restore: start from ``base`` and overwrite subtrees.
 
@@ -79,7 +85,13 @@ def merge_param_sources(base: Any, *overlays: Dict[str, Any]) -> Any:
     reference ``text.py:620-651``): each overlay is {path-tuple or
     dotted-string: subtree}.
     """
-    tree = unfreeze(base) if hasattr(base, "unfreeze") else dict(base)
+    import copy
+
+    tree = unfreeze(base) if hasattr(base, "unfreeze") else base
+    # deep-copy the dict structure (not the arrays) so the caller's base
+    # tree is never mutated
+    tree = copy.deepcopy(tree) if not isinstance(tree, dict) else \
+        _copy_dicts(tree)
 
     def set_path(d, path, value):
         keys = path.split("/") if isinstance(path, str) else list(path)

@@ -138,8 +138,11 @@ class Trainer:
         losses, t0 = [], time.time()
         steps = 0
         mid_evals = []
+        # drop_last: the padded partial batch would duplicate rows into the
+        # gradient (datasets.py pads by repeating); shuffling re-covers the
+        # dropped tail across epochs
         for batch, _ in dataset.batches(cfg.train_batch_size, shuffle=True,
-                                        seed=cfg.seed + epoch, drop_last=False):
+                                        seed=cfg.seed + epoch, drop_last=True):
             self.state, loss = self._train_step(self.state, self._device_batch(batch))
             steps += 1
             if steps % cfg.log_steps == 0:

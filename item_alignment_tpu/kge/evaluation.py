@@ -145,7 +145,8 @@ class TripletClassificationEvaluator:
 
     def evaluate_thresholds(self) -> None:
         neg_scores = self._scores(self.kg_val, corrupt=True)
-        self.thresholds = np.full(self.kg_val.n_rel, -np.inf)
+        # torchkge initializes unseen-relation thresholds to 0 (evaluation.py)
+        self.thresholds = np.zeros(self.kg_val.n_rel)
         for rel in range(self.kg_val.n_rel):
             m = self.kg_val.relations == rel
             if m.any():

@@ -201,13 +201,8 @@ class KGEModel:
             if name in ("transe", "pkgm"):
                 x = l2_normalize(E[h_idx]) + params["rel_emb"][r_idx]
                 cand = E
-            elif name == "transh":
-                w = l2_normalize(params["norm_vect"][r_idx])
-                h = l2_normalize(E[h_idx])
-                x = h - jnp.sum(h * w, -1, keepdims=True) * w + params["rel_emb"][r_idx]
-                # candidates also projected per-row: fall back to chunked path
-                return self._chunked_tails(params, h_idx, r_idx)
             else:
+                # transh/transd project candidates per-row: chunked path
                 return self._chunked_tails(params, h_idx, r_idx)
             if dt == "L2":
                 x2 = jnp.sum(x * x, -1, keepdims=True)          # [B,1]

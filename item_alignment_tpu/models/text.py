@@ -141,9 +141,10 @@ class RobertaTwoTower(nn.Module):
                          deterministic=deterministic)[-1]
         out_2 = backbone(input_ids_2, attention_mask_2, token_type_ids_2,
                          deterministic=deterministic)[-1]
-        src_embeds, tgt_embeds, logits, probs = TwoTowerClassificationHead(
+        src_embeds, tgt_embeds, logits, full_probs = TwoTowerClassificationHead(
             dropout_rate=cfg.hidden_dropout_prob, num_labels=cfg.num_labels,
             name="classifier")(out_1[:, 0, :], out_2[:, 0, :], deterministic)
+        probs = full_probs[:, 1]  # P(same); embeds stay the CLS vectors
         loss = None
         if labels is not None:
             loss = pair_loss(cfg.loss_type, logits, probs, labels,
@@ -205,9 +206,10 @@ class PKGMTwoTower(nn.Module):
                          position_ids, deterministic)[-1]
         out_2 = backbone(input_ids_2, attention_mask_2, token_type_ids_2,
                          position_ids, deterministic)[-1]
-        src_embeds, tgt_embeds, logits, probs = TwoTowerClassificationHead(
+        src_embeds, tgt_embeds, logits, full_probs = TwoTowerClassificationHead(
             dropout_rate=cfg.hidden_dropout_prob, num_labels=cfg.num_labels,
             name="classifier")(out_1[:, 0, :], out_2[:, 0, :], deterministic)
+        probs = full_probs[:, 1]
         loss = None
         if labels is not None:
             loss = pair_loss(cfg.loss_type, logits, probs, labels,
