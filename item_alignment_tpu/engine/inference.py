@@ -53,6 +53,8 @@ class TwoTowerInference:
         """Probabilities for (src, tgt) row-index pairs against the cache."""
         assert self.cache is not None, "call build_cache first"
         n = len(src_idx)
+        if n == 0:
+            return np.zeros(0, np.float32)
         bs = self.batch_size
         out = []
         pad = (-n) % bs
