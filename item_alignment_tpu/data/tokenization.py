@@ -401,6 +401,39 @@ def rows_to_pkgm_dataset(rows, tok, kg_ent, kg_rel, max_seq_len: int,
     return ArrayDataset(arrays, meta)
 
 
+def rows_to_pv_pair_dataset(rows, tok, max_seq_len: int, max_seq_len_pv: int
+                            ) -> ArrayDataset:
+    """pv-pair text variant (RobertaOneTowerPvPairDataset, data.py:756-783;
+    unused by the reference's final pipeline but part of the surface):
+    rows are (label, src_id, src_title, tgt_id, tgt_title, pv_pair_text);
+    layout = tokenizer(src_title, tgt_title [SEP] jieba(pv_pair_text)) with
+    token types bumped +1 after the second [SEP]."""
+    feats: Dict[str, list] = {"input_ids": [], "token_type_ids": [],
+                              "attention_mask": [], "labels": []}
+    meta = {"src_item_id": [], "tgt_item_id": []}
+    max_length = 2 * max_seq_len + max_seq_len_pv
+    for (label, src_item_id, src_title, tgt_item_id, tgt_title,
+         pv_pair_text) in rows:
+        src_text = src_title
+        tgt_text = " ".join((tgt_title, tok.sep_token,
+                             segment_pvs(pv_pair_text)))
+        enc = tok(text=src_text, text_pair=tgt_text, max_length=max_length,
+                  padding="max_length", truncation="longest_first")
+        ids = enc["input_ids"]
+        i1 = ids.index(tok.sep_token_id)
+        i2 = ids.index(tok.sep_token_id, i1 + 1)
+        tt = enc["token_type_ids"]
+        tt = tt[: i2 + 1] + [t + 1 for t in tt[i2 + 1:]]
+        feats["input_ids"].append(ids)
+        feats["token_type_ids"].append(tt)
+        feats["attention_mask"].append(enc["attention_mask"])
+        feats["labels"].append(int(label))
+        meta["src_item_id"].append(src_item_id)
+        meta["tgt_item_id"].append(tgt_item_id)
+    arrays = {k: np.asarray(v, np.int32) for k, v in feats.items()}
+    return ArrayDataset(arrays, meta)
+
+
 def rows_to_pkgm_two_tower_dataset(rows, tok, kg_ent, kg_rel,
                                    max_seq_len: int, max_pvs: int
                                    ) -> ArrayDataset:
