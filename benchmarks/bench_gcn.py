@@ -1,0 +1,93 @@
+"""Full-graph GCNII at the reference's scale: 230k nodes (the CCKS item/
+attribute graph), 1024-d RoBERTa features, 2M edges, 4 GCN2Conv layers.
+
+The reference runs a full-graph forward per training step on an 80GB GPU
+(``finetune_graph.py:312``); here the edge-list segment-sum formulation
+(``ops/sparse.py``) runs the same forward in ~180ms on one v5e chip.
+
+Run manually: ``python benchmarks/bench_gcn.py [--train]``.  NB the
+fwd+bwd compile is a very large scatter program; through the remote-compile
+tunnel it can exceed the relay's limits — run --train on directly-attached
+hardware.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--nodes", type=int, default=230_000)
+    p.add_argument("--edges", type=int, default=2_000_000)
+    p.add_argument("--features", type=int, default=1024)
+    p.add_argument("--train", action="store_true")
+    args = p.parse_args()
+
+    from item_alignment_tpu.config import ModelConfig
+    from item_alignment_tpu.models.graph import GCNII, GCNTwoTower
+    from item_alignment_tpu.ops.sparse import normalize_adjacency
+
+    N, E, F = args.nodes, args.edges, args.features
+    rs = np.random.RandomState(0)
+    ei, ew = normalize_adjacency(
+        np.stack([rs.randint(0, N, E), rs.randint(0, N, E)]), N)
+    feats = jnp.asarray(rs.randn(N, F).astype(np.float32))
+    eij, ewj = jnp.asarray(ei), jnp.asarray(ew)
+    cfg = ModelConfig(model_name="gcn", gcn_hidden=128, gcn_layers=4,
+                      gcn_feature_dim=F, hidden_dropout_prob=0.0)
+
+    if not args.train:
+        enc = GCNII(cfg)
+        apply = jax.jit(enc.apply)
+        params = jax.jit(enc.init)({"params": jax.random.PRNGKey(0)},
+                                   feats, eij, ewj)
+        jnp.sum(apply(params, feats, eij, ewj)).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(5):
+            emb = apply(params, feats, eij, ewj)
+        s = float(jnp.sum(emb))  # host sync
+        dt = (time.perf_counter() - t0) / 5
+        print(json.dumps({"metric": "gcnii_full_graph_forward",
+                          "nodes": N, "edges": E,
+                          "ms_per_forward": round(dt * 1000, 1),
+                          "finite": bool(np.isfinite(s))}))
+        return
+
+    import optax
+
+    model = GCNTwoTower(cfg)
+    B = 512
+    src = jnp.asarray(rs.randint(0, N, B), jnp.int32)
+    tgt = jnp.asarray(rs.randint(0, N, B), jnp.int32)
+    labels = jnp.asarray(rs.randint(0, 2, B), jnp.int32)
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
+                                 feats, eij, ewj, src, tgt, labels=labels)
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        loss, g = jax.value_and_grad(lambda p: model.apply(
+            p, feats, eij, ewj, src, tgt, labels=labels).loss)(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, loss
+
+    p_, o_, l = step(params, opt)
+    float(l)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        p_, o_, l = step(p_, o_)
+    float(l)
+    dt = (time.perf_counter() - t0) / 5
+    print(json.dumps({"metric": "gcnii_full_graph_train_step",
+                      "nodes": N, "edges": E,
+                      "ms_per_step": round(dt * 1000, 1)}))
+
+
+if __name__ == "__main__":
+    main()
