@@ -10,6 +10,7 @@ cached pair scoring shards the pair list.  Throughput should scale ~linearly
 in chips because both stages are embarrassingly data-parallel.
 """
 
+import argparse
 import json
 import time
 
@@ -18,11 +19,17 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-N_ITEMS_PER_CHIP = 1024
-PAIRS_PER_ITEM = 100
-
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--items_per_chip", type=int, default=1024)
+    ap.add_argument("--pairs_per_item", type=int, default=100)
+    ap.add_argument("--batch_per_chip", type=int, default=64)
+    ap.add_argument("--tiny_model", action="store_true",
+                    help="small encoder for CPU-simulation validation")
+    args = ap.parse_args()
+    N_ITEMS_PER_CHIP = args.items_per_chip
+    PAIRS_PER_ITEM = args.pairs_per_item
     from item_alignment_tpu.config import MeshConfig, ModelConfig
     from item_alignment_tpu.models.text import RobertaBackbone
     from item_alignment_tpu.parallel.mesh import create_mesh
@@ -31,12 +38,20 @@ def main():
     mesh = create_mesh(MeshConfig(data=n_dev, fsdp=1, tensor=1))
     n_items = N_ITEMS_PER_CHIP * n_dev
 
-    cfg = ModelConfig.roberta_large(
-        max_seq_len=50, max_seq_len_pv=205, dtype="bfloat16",
-        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    if args.tiny_model:
+        cfg = ModelConfig(hidden_size=64, num_hidden_layers=2,
+                          num_attention_heads=4, intermediate_size=128,
+                          max_seq_len=8, max_seq_len_pv=8,
+                          max_position_embeddings=64, dtype="bfloat16",
+                          hidden_dropout_prob=0.0,
+                          attention_probs_dropout_prob=0.0)
+    else:
+        cfg = ModelConfig.roberta_large(
+            max_seq_len=50, max_seq_len_pv=205, dtype="bfloat16",
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
     backbone = RobertaBackbone(cfg)
     S, H = cfg.item_seq_len, cfg.hidden_size
-    B = 64 * n_dev
+    B = args.batch_per_chip * n_dev
     n_batches = n_items // B
 
     rng = jax.random.PRNGKey(0)
