@@ -86,6 +86,13 @@ def _common_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--do_train", action="store_true")
     p.add_argument("--do_eval", action="store_true")
     p.add_argument("--do_pred", action="store_true")
+    p.add_argument("--log_dir", default=None,
+                   help="emit JSONL scalars + CSV eval results here")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of the first epoch")
+    p.add_argument("--pred_with_best", action="store_true",
+                   help="predict with the best-F1 epoch params (like the "
+                        "reference's best-model dirs)")
 
 
 def _model_config(args, **extra) -> ModelConfig:
@@ -231,15 +238,22 @@ def cmd_finetune_text(argv: List[str]) -> int:
     _dump_hyperparameters(args, out_dir)
 
     steps = train_ds.num_batches(args.train_batch_size) if train_ds else 1
-    trainer = Trainer(build_model(cfg), _train_config(args, steps))
+    trainer = Trainer(build_model(cfg), _train_config(args, steps),
+                      log_dir=args.log_dir)
 
     if args.do_train:
         first = next(train_ds.batches(args.train_batch_size))[0]
         trainer.setup(first)
         if args.pretrained_model_path:
             _load_pretrained(trainer, cfg, args)
-        result = trainer.fit(train_ds, valid_ds)
+        from item_alignment_tpu.engine.observability import profile_trace
+        with profile_trace(args.profile_dir):
+            result = trainer.fit(train_ds, valid_ds)
         _save_epoch_params(trainer, out_dir, args.epochs)
+        if trainer.best_params is not None:
+            from item_alignment_tpu.engine.checkpoint import save_params
+            save_params(os.path.join(out_dir, "best_f1.msgpack"),
+                        trainer.best_params)
         print(json.dumps({"best": result["best"]}))
     if args.do_eval and valid_ds is not None and len(valid_ds) > 0:
         if trainer.state is None:
@@ -253,6 +267,10 @@ def cmd_finetune_text(argv: List[str]) -> int:
         if trainer.state is None:
             trainer.setup(next(valid_ds.batches(args.eval_batch_size))[0])
             _maybe_restore(trainer, args)
+        if args.pred_with_best and trainer.best_params is not None:
+            from item_alignment_tpu.parallel.sharding import shard_params
+            trainer.state = trainer.state.replace(
+                params=shard_params(trainer.best_params, trainer.mesh))
         path = os.path.join(out_dir,
                             f"deepAI_result_threshold={args.threshold}.jsonl")
         trainer.predict_jsonl(valid_ds, path, args.threshold)
