@@ -1,14 +1,16 @@
 """Pallas TPU fused attention for the <=512-token pair cross-encoder.
 
 The reference's hot loop is 24 layers of self-attention over 510 tokens
-(``finetune_text.py:401-415``).  At S<=512 and head_dim 64, one batch row's
-full Q/K/V (S x N*H bf16 ~ 1 MiB each) plus a [S, S] fp32 score tile fit in
-VMEM, so the kernel runs one grid cell per batch row and loops heads
-in-kernel — fewer, fatter grid cells pipeline better than a (batch, head)
-grid (measured ~13% faster at B=32, S=510, 16 heads).
+(``finetune_text.py:401-415``).  Each grid cell handles one batch row and a
+GROUP of heads (up to 8): the group's Q/K/V blocks plus one [S, S] fp32
+score tile stay comfortably inside the ~16 MiB VMEM budget (a full 16-head
+row at S=512 overflows it by ~0.5 MiB), while cells stay fat enough to
+pipeline well (~14% faster than a (batch, head) grid at B=32).
 
 Matmul inputs stay in their native (bf16) dtype so the MXU runs at full
-rate; softmax statistics accumulate in fp32.
+rate; softmax statistics accumulate in fp32.  A custom VJP recomputes the
+backward through the plain XLA attention formulation (pallas_call has no
+autodiff rule).
 """
 
 from __future__ import annotations
@@ -21,12 +23,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+MAX_HEADS_PER_CELL = 8
+
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
-                 n_heads: int, head_dim: int):
-    # blocks: q/k/v/o [1, S, N*H] (one batch row), bias [1, 1, S]
+                 heads_in_cell: int, head_dim: int):
+    # blocks: q/k/v/o [1, S, G*H] (one batch row, one head group),
+    # bias [1, 1, S]
     bias = bias_ref[0].astype(jnp.float32)  # [1, S] broadcasts over queries
-    for h in range(n_heads):
+    for h in range(heads_in_cell):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q = q_ref[0][:, sl]
         k = k_ref[0][:, sl]
@@ -53,6 +58,9 @@ def _fused_attention_impl(
 ) -> jax.Array:
     B, S, N, H = q.shape
     scale = 1.0 / (H ** 0.5)
+    group = min(N, MAX_HEADS_PER_CELL)
+    assert N % group == 0, f"heads {N} not divisible by group {group}"
+    n_groups = N // group
     qt = q.reshape(B, S, N * H)
     kt = k.reshape(B, S, N * H)
     vt = v.reshape(B, S, N * H)
@@ -61,14 +69,15 @@ def _fused_attention_impl(
     else:
         bias_rows = bias.reshape(B, 1, S).astype(jnp.float32)
 
-    row_spec = pl.BlockSpec((1, S, N * H), lambda b: (b, 0, 0),
+    row_spec = pl.BlockSpec((1, S, group * H), lambda b, g: (b, 0, g),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, n_heads=N, head_dim=H),
+        functools.partial(_attn_kernel, scale=scale, heads_in_cell=group,
+                          head_dim=H),
         out_shape=jax.ShapeDtypeStruct((B, S, N * H), q.dtype),
-        grid=(B,),
+        grid=(B, n_groups),
         in_specs=[row_spec, row_spec, row_spec,
-                  pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
+                  pl.BlockSpec((1, 1, S), lambda b, g: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=row_spec,
         cost_estimate=pl.CostEstimate(

@@ -9,6 +9,10 @@ lazily at first backend init, so setting it here works.
 
 import os
 
+# IA_TPU_TESTS=1 skips the CPU override so hardware-gated tests
+# (test_pallas_kernel_tpu.py) can run on the real chip
+_USE_TPU = os.environ.get("IA_TPU_TESTS") == "1"
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -19,11 +23,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (already imported by sitecustomize; config wins)
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_default_matmul_precision", "highest")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def pytest_sessionstart(session):
+    if _USE_TPU:
+        return
     assert jax.default_backend() == "cpu", (
         f"tests must run on CPU, got {jax.default_backend()}")
     assert jax.device_count() == 8, (
