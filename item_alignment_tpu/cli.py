@@ -309,10 +309,78 @@ def _load_pretrained(trainer, cfg, args) -> None:
     logger.info("loaded pretrained encoder weights")
 
 
-def _save_epoch_params(trainer, out_dir: str, epoch: int) -> None:
+def _resolve_checkpoint_file(path: str) -> str:
+    if os.path.isdir(path):
+        for cand in ("pytorch_model.bin", "model.pth", "model.bin",
+                     "checkpoint.pth"):
+            p2 = os.path.join(path, cand)
+            if os.path.exists(p2):
+                return p2
+    return path
+
+
+def _load_timm_pretrained(trainer, args) -> None:
+    """timm backbone weights for the image towers. The reference builds
+    ``timm.create_model(name, pretrained=True)`` (finetune_image.py:191-218);
+    offline here, ``--pretrained_model_path`` points to the torch-saved
+    timm state_dict (file or HF-style dir)."""
+    from item_alignment_tpu.parallel.sharding import shard_params
+    from item_alignment_tpu.utils.hf_import import load_torch_state_dict
+    from item_alignment_tpu.utils.timm_import import load_timm_backbone
+
+    path = _resolve_checkpoint_file(args.pretrained_model_path)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"--pretrained_model_path {args.pretrained_model_path}: no "
+            "checkpoint found (expected a torch state_dict of the timm "
+            f"model for {args.model_name})")
+    sd = load_torch_state_dict(path)
+    tree = load_timm_backbone(trainer.state.params, sd, args.model_name)
+    trainer.state = trainer.state.replace(
+        params=shard_params(tree, trainer.mesh))
+    logger.info(f"loaded timm pretrained backbone from {path}")
+
+
+def _load_coca_pretrained(trainer, args) -> None:
+    """Overlay a ``coca-pretrain`` msgpack checkpoint's shared subtrees
+    (``coca``, ``multimodal``) onto the CoCaForItemAlignment params
+    (the reference loads the CoCa pretrain .pt with strict=False,
+    finetune_multimodal.py)."""
+    import jax
+
+    from flax import serialization
+
+    from item_alignment_tpu.parallel.sharding import shard_params
+
+    path = _resolve_checkpoint_file(args.pretrained_model_path)
+    if os.path.isdir(args.pretrained_model_path):
+        cand = os.path.join(args.pretrained_model_path,
+                            "coca_pretrain.msgpack")
+        if os.path.exists(cand):
+            path = cand
+    with open(path, "rb") as f:
+        pre = serialization.msgpack_restore(f.read())
+    pre = pre.get("params", pre)
+    params = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    loaded = []
+    for key in ("coca", "multimodal"):
+        if key in pre and key in params:
+            from item_alignment_tpu.utils.hf_import import _overlay
+            _overlay(params[key], pre[key])
+            loaded.append(key)
+    assert loaded, f"no shared subtrees between {path} and the model params"
+    trainer.state = trainer.state.replace(
+        params=shard_params(params, trainer.mesh))
+    logger.info(f"loaded coca pretrain subtrees {loaded} from {path}")
+
+
+def _save_epoch_params(trainer, out_dir: str, epoch: int,
+                       kind: str = "text") -> None:
+    """``<kind>_finetune_epoch-N.msgpack`` (reference finetune_text.py:587 /
+    finetune_image.py:390 / finetune_multimodal.py:568 naming)."""
     from item_alignment_tpu.engine.checkpoint import save_params
 
-    path = os.path.join(out_dir, f"text_finetune_epoch-{epoch}.msgpack")
+    path = os.path.join(out_dir, f"{kind}_finetune_epoch-{epoch}.msgpack")
     save_params(path, trainer.state.params)
     logger.info(f"saved {path}")
 
@@ -560,13 +628,22 @@ def cmd_finetune_image(argv: List[str]) -> int:
     out_dir = os.path.join(args.output_dir, run_dir_name(args))
     _dump_hyperparameters(args, out_dir)
     trainer = Trainer(build_model(cfg),
-                      _train_config(args, ds.num_batches(args.train_batch_size)))
+                      _train_config(args, ds.num_batches(args.train_batch_size)),
+                      log_dir=args.log_dir)
     if args.do_train:
+        trainer.setup(next(ds.batches(args.train_batch_size))[0])
+        if args.pretrained_model_path:
+            _load_timm_pretrained(trainer, args)
+        _maybe_restore(trainer, args)
         result = trainer.fit(ds, ds if args.do_eval else None)
+        _save_epoch_params(trainer, out_dir, args.epochs, kind="image")
         print(json.dumps({"best": result["best"]}))
     if args.do_pred:
         if trainer.state is None:
             trainer.setup(next(ds.batches(args.eval_batch_size))[0])
+            if args.pretrained_model_path:
+                _load_timm_pretrained(trainer, args)
+            _maybe_restore(trainer, args)
         path = os.path.join(out_dir,
                             f"deepAI_result_threshold={args.threshold}.jsonl")
         trainer.predict_jsonl(ds, path, args.threshold)
@@ -637,13 +714,46 @@ def cmd_finetune_multimodal(argv: List[str]) -> int:
     out_dir = os.path.join(args.output_dir, run_dir_name(args))
     _dump_hyperparameters(args, out_dir)
     steps = train_ds.num_batches(args.train_batch_size) if train_ds else 1
-    trainer = Trainer(build_model(cfg), _train_config(args, steps))
+    trainer = Trainer(build_model(cfg), _train_config(args, steps),
+                      log_dir=args.log_dir)
+
+    def _restore_pretrained(example_ds):
+        trainer.setup(next(example_ds.batches(args.eval_batch_size))[0])
+        if args.pretrained_model_path:
+            # roberta_image starts from the HF text encoder
+            # (finetune_multimodal.py from_pretrained); coca from the
+            # coca-pretrain checkpoint
+            if is_coca:
+                _load_coca_pretrained(trainer, args)
+            else:
+                _load_pretrained(trainer, cfg, args)
+        _maybe_restore(trainer, args)
+
     if args.do_train:
+        trainer.setup(next(train_ds.batches(args.train_batch_size))[0])
+        if args.pretrained_model_path:
+            if is_coca:
+                _load_coca_pretrained(trainer, args)
+            else:
+                _load_pretrained(trainer, cfg, args)
+        _maybe_restore(trainer, args)
         result = trainer.fit(train_ds, valid_ds)
+        _save_epoch_params(trainer, out_dir, args.epochs, kind="multimodal")
+        if trainer.best_params is not None:
+            from item_alignment_tpu.engine.checkpoint import save_params
+            save_params(os.path.join(out_dir, "best_f1.msgpack"),
+                        trainer.best_params)
         print(json.dumps({"best": result["best"]}))
+    if args.do_eval and valid_ds is not None and len(valid_ds) > 0:
+        if trainer.state is None:
+            _restore_pretrained(valid_ds)
+        ev = trainer.evaluate(valid_ds)
+        print(json.dumps({"sweep": ev.get("sweep", []),
+                          "best_f1": ev.get("best_f1"),
+                          "best_threshold": ev.get("best_threshold")}))
     if args.do_pred and valid_ds is not None:
         if trainer.state is None:
-            trainer.setup(next(valid_ds.batches(args.eval_batch_size))[0])
+            _restore_pretrained(valid_ds)
         path = os.path.join(out_dir,
                             f"deepAI_result_threshold={args.threshold}.jsonl")
         trainer.predict_jsonl(valid_ds, path, args.threshold)

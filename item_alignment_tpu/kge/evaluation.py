@@ -145,8 +145,10 @@ class TripletClassificationEvaluator:
 
     def evaluate_thresholds(self) -> None:
         neg_scores = self._scores(self.kg_val, corrupt=True)
-        # torchkge initializes unseen-relation thresholds to 0 (evaluation.py)
-        self.thresholds = np.zeros(self.kg_val.n_rel)
+        # torchkge (evaluation.py:538) fills thresholds for relations unseen
+        # in validation with the GLOBAL neg_scores.max(); per-relation maxima
+        # override where the relation appears.
+        self.thresholds = np.full(self.kg_val.n_rel, neg_scores.max())
         for rel in range(self.kg_val.n_rel):
             m = self.kg_val.relations == rel
             if m.any():

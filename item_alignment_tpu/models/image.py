@@ -5,15 +5,25 @@ Re-designs of reference ``src/models/image.py``:
 - ``ViT`` / image two-towers  <- ViT/VitTwoTower (image.py:382-499):
   patch16 pre-LN vision transformer, CLS-pooled
 - ``ResNetV2``                <- ResNetTwoTower (image.py:298-378):
-  pre-activation bottleneck ResNet-50 with GroupNorm + weight-standardized
-  convs (timm ``resnetv2_50`` structure)
+  timm 0.6.5 ``resnetv2_50``: pre-activation bottleneck ResNet-50.
+  timm's BatchNormAct2d running stats are FOLDED into a trainable
+  per-channel affine (:class:`AffineAct`) at conversion time — frozen-BN
+  finetuning, the standard TPU/JAX practice (keeps the train step free of
+  cross-replica batch-stat sync collectives and mutable state).
 - ``NFNet``                   <- NormFreeNet/NFNetTwoTower (image.py:40-294):
-  normalizer-free residual stages with ScaledStdConv, SiLU, ECA channel
-  attention and expected-variance (alpha/beta) bookkeeping, eca_nfnet_l0
-  shape defaults
+  timm 0.6.5 ``eca_nfnet_l0``: normalizer-free residual stages with
+  ScaledStdConv (gamma folded into the weight scale, ``gamma_in_act=False``),
+  grouped 3x3 convs (group_size 64), ECA applied after conv3 with
+  ``attn_gain`` 2.0, zero-init conv3 gain, deep_quad stem, and
+  expected-variance (alpha/beta) bookkeeping.
 - ``ImageTwoTower``           <- the shared pair wrapper: backbone features
   per image -> TwoTowerClassificationHead -> CE loss
   (``ClassifierHead``, image.py:16-37, is this concat head)
+
+Convolution padding follows torch's symmetric static padding
+``((s-1)+d*(k-1))//2`` (timm ``get_padding``) rather than XLA ``SAME`` so
+converted timm weights (``utils/timm_import.py``) are numerically exact —
+the two differ by a one-pixel window shift for stride-2 convs.
 
 All towers return pooled feature vectors; pair classification follows the
 same output contract as the text zoo.
@@ -31,6 +41,12 @@ from item_alignment_tpu.config import ModelConfig
 from item_alignment_tpu.models.heads import TwoTowerClassificationHead
 from item_alignment_tpu.models.losses import pair_loss
 from item_alignment_tpu.models.outputs import PairClassifierOutput
+
+
+def _torch_pad(k: int, s: int = 1, d: int = 1) -> Tuple[int, int]:
+    """timm/torch symmetric static padding (timm layers/padding.py)."""
+    p = ((s - 1) + d * (k - 1)) // 2
+    return (p, p)
 
 
 # ------------------------------------------------------------------- ViT
@@ -87,32 +103,45 @@ class ViT(nn.Module):
         return x[:, 0], x[:, 1:]
 
 
-# -------------------------------------------------------------- ResNetV2
+# ---------------------------------------------------------------- shared
 class StdConv(nn.Module):
-    """Weight-standardized conv (ResNetV2/NFNet building block)."""
+    """ScaledStdConv2d parity (timm 0.6.5 layers/std_conv.py):
+
+    ``w_hat = (w - mean) / sqrt(var + eps) * gain * gamma / sqrt(fan_in)``
+
+    where mean/var are per-output-channel over the (kh, kw, cin/groups)
+    fan-in (biased variance — torch ``F.batch_norm(training=True)``) and
+    ``gamma`` is the activation's variance-preserving gain, folded into
+    the conv like timm's ``gamma_in_act=False`` default.
+    """
 
     features: int
     kernel: Tuple[int, int]
     strides: int = 1
+    groups: int = 1
     use_bias: bool = True
-    gamma: float = 1.0  # NFNet activation-gain folded into the weight scale
-    eps: float = 1e-6
+    gamma: float = 1.0
+    eps: float = 1e-5  # NfCfg.std_conv_eps
+    gain_init: float = 1.0
 
     @nn.compact
     def __call__(self, x):
         kh, kw = self.kernel
-        cin = x.shape[-1]
+        cin = x.shape[-1] // self.groups
         w = self.param("kernel", nn.initializers.he_normal(),
                        (kh, kw, cin, self.features))
         fan_in = kh * kw * cin
         mean = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
         var = jnp.var(w, axis=(0, 1, 2), keepdims=True)
-        # scaled weight standardization (Brock et al.): gain * gamma / sqrt(N*var)
-        gain = self.param("gain", nn.initializers.ones, (self.features,))
-        scale = self.gamma * jax.lax.rsqrt(jnp.maximum(var * fan_in, self.eps))
-        w = (w - mean) * scale * gain
+        gain = self.param(
+            "gain", nn.initializers.constant(self.gain_init), (self.features,))
+        scale = gain * (self.gamma * fan_in ** -0.5) * jax.lax.rsqrt(
+            var + self.eps)
+        w = (w - mean) * scale
         out = jax.lax.conv_general_dilated(
-            x, w, (self.strides, self.strides), "SAME",
+            x, w, (self.strides, self.strides),
+            [_torch_pad(kh, self.strides), _torch_pad(kw, self.strides)],
+            feature_group_count=self.groups,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
@@ -120,71 +149,97 @@ class StdConv(nn.Module):
         return out
 
 
+class PlainConv(nn.Module):
+    """timm ``create_conv2d`` equivalent: plain conv, bias=False default
+    (conv2d_same.py ``kwargs.setdefault('bias', False)``), torch padding."""
 
-def _group_norm(name: str):
-    """GroupNorm with groups adapted to the channel count (32 when it
-    divides, else the largest power-of-two divisor)."""
+    features: int
+    kernel: Tuple[int, int]
+    strides: int = 1
+    groups: int = 1
 
-    class _GN(nn.Module):
-        @nn.compact
-        def __call__(self, x):
-            c = x.shape[-1]
-            groups = next(g for g in (32, 16, 8, 4, 2, 1) if c % g == 0)
-            return nn.GroupNorm(num_groups=groups)(x)
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        cin = x.shape[-1] // self.groups
+        w = self.param("kernel", nn.initializers.he_normal(),
+                       (kh, kw, cin, self.features))
+        return jax.lax.conv_general_dilated(
+            x, w, (self.strides, self.strides),
+            [_torch_pad(kh, self.strides), _torch_pad(kw, self.strides)],
+            feature_group_count=self.groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-    return _GN(name=name)
+
+# -------------------------------------------------------------- ResNetV2
+class AffineAct(nn.Module):
+    """Folded frozen BatchNormAct2d: per-channel affine + ReLU.
+
+    timm's running mean/var are folded into (scale, bias) at conversion
+    (``convert_timm_resnetv2``); both stay trainable, matching frozen-BN
+    finetuning. Init (1, 0) is identity-affine for from-scratch runs.
+    """
+
+    apply_act: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        x = x * scale + bias
+        return jax.nn.relu(x) if self.apply_act else x
 
 
-class BottleneckV2(nn.Module):
-    """Pre-activation bottleneck: GN+ReLU -> 1x1 -> 3x3 -> 1x1."""
+class PreActBottleneck(nn.Module):
+    """timm 0.6.5 resnetv2.py PreActBottleneck: norm1 -> (downsample on the
+    pre-activated input) / conv1 -> norm2 -> conv2 -> norm3 -> conv3."""
 
-    features: int  # bottleneck width
+    features: int  # bottleneck width (out_features * 0.25)
     out_features: int
     strides: int = 1
 
     @nn.compact
     def __call__(self, x):
-        h = _group_norm("norm1")(x)
-        h = jax.nn.relu(h)
+        x_preact = AffineAct(name="norm1")(x)
         shortcut = x
         if x.shape[-1] != self.out_features or self.strides != 1:
-            shortcut = StdConv(self.out_features, (1, 1), self.strides,
-                               name="downsample")(h)
-        h = StdConv(self.features, (1, 1), name="conv1")(h)
-        h = _group_norm("norm2")(h)
-        h = jax.nn.relu(h)
-        h = StdConv(self.features, (3, 3), self.strides, name="conv2")(h)
-        h = _group_norm("norm3")(h)
-        h = jax.nn.relu(h)
-        h = StdConv(self.out_features, (1, 1), name="conv3")(h)
-        return shortcut + h
+            shortcut = PlainConv(self.out_features, (1, 1), self.strides,
+                                 name="downsample")(x_preact)
+        h = PlainConv(self.features, (1, 1), name="conv1")(x_preact)
+        h = AffineAct(name="norm2")(h)
+        h = PlainConv(self.features, (3, 3), self.strides, name="conv2")(h)
+        h = AffineAct(name="norm3")(h)
+        h = PlainConv(self.out_features, (1, 1), name="conv3")(h)
+        return h + shortcut
 
 
 class ResNetV2(nn.Module):
-    """resnetv2_50 structure; returns the pooled 2048-d feature."""
+    """timm ``resnetv2_50`` structure; returns the pooled 2048-d feature."""
 
     depths: Sequence[int] = (3, 4, 6, 3)
     width: int = 64
 
     @nn.compact
     def __call__(self, images, deterministic: bool = True):
-        x = StdConv(self.width, (7, 7), 2, name="stem_conv")(images)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = PlainConv(self.width, (7, 7), 2, name="stem_conv")(images)
+        # torch MaxPool2d(3, 2, padding=1): -inf padding, floor division
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i, depth in enumerate(self.depths):
             features = self.width * (2 ** i)
             out_features = features * 4
             for j in range(depth):
                 strides = 2 if (j == 0 and i > 0) else 1
-                x = BottleneckV2(features, out_features, strides,
-                                 name=f"stage{i}_block{j}")(x)
-        x = _group_norm("norm")(x)
-        x = jax.nn.relu(x)
+                x = PreActBottleneck(features, out_features, strides,
+                                     name=f"stage{i}_block{j}")(x)
+        x = AffineAct(name="norm")(x)
         return jnp.mean(x, axis=(1, 2))  # global avg pool
 
 
 # ----------------------------------------------------------------- NFNet
 class ECA(nn.Module):
-    """Efficient Channel Attention: 1-d conv over the channel descriptor."""
+    """Efficient Channel Attention (timm EcaModule): 1-d conv (bias-free)
+    over the per-channel average descriptor, sigmoid gate."""
 
     kernel_size: int = 5
 
@@ -195,18 +250,40 @@ class ECA(nn.Module):
         w = self.param("conv", nn.initializers.normal(0.02),
                        (self.kernel_size, 1, 1))
         y = jax.lax.conv_general_dilated(
-            y[:, :, None], w, (1,), "SAME",
+            y[:, :, None], w, (1,), [_torch_pad(self.kernel_size)],
             dimension_numbers=("NWC", "WIO", "NWC"))[:, :, 0]
         return x * jax.nn.sigmoid(y)[:, None, None, :]
 
 
-_SILU_GAMMA = 1.7881293296813965  # variance-preserving SiLU gain (timm)
+def eca_kernel_size(channels: int, gamma: int = 2, beta: int = 1) -> int:
+    """timm EcaModule adaptive kernel: odd(|log2(C)+beta|/gamma), min 3."""
+    import math
+
+    t = int(abs(math.log(channels, 2) + beta) / gamma)
+    return max(t if t % 2 else t + 1, 3)
+
+
+_SILU_GAMMA = 1.7881293296813965  # timm _nonlin_gamma['silu']
+
+
+def make_divisible(v, divisor: int = 8, min_value=None,
+                   round_limit: float = 0.9) -> int:
+    """timm layers/helpers.py make_divisible — exact."""
+    min_value = min_value or divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < round_limit * v:
+        new_v += divisor
+    return new_v
 
 
 class NFBlock(nn.Module):
-    """Normalizer-free bottleneck block with variance bookkeeping:
-    out = shortcut + alpha * f(beta * x); expected std grows as
-    sqrt(1 + alpha^2) across blocks (image.py:40-211 semantics)."""
+    """timm 0.6.5 NormFreeBlock (reg=False, extra_conv=True, skipinit=False):
+
+    ``out = act1(x) * beta``; shortcut = downsample(out) (avg-pool + 1x1)
+    or x; residual = conv3(act3(conv2b(act2b(conv2(act2(conv1(out)))))))
+    with grouped 3x3 convs; ``out = attn_gain * eca(residual) * alpha +
+    shortcut``. conv3's gain is zero-init (the NFNet residual zero-init).
+    """
 
     out_features: int
     bottleneck_ratio: float = 0.25
@@ -214,63 +291,77 @@ class NFBlock(nn.Module):
     strides: int = 1
     alpha: float = 0.2
     beta: float = 1.0
+    attn_gain: float = 2.0
 
     @nn.compact
     def __call__(self, x):
-        width = int(self.out_features * self.bottleneck_ratio)
-        act = lambda v: jax.nn.silu(v) * _SILU_GAMMA  # noqa: E731
-        h = act(x * self.beta)
+        # timm: mid_chs = make_divisible(out_chs * bottle_ratio); groups =
+        # mid_chs // group_size; mid_chs re-snapped to group_size * groups
+        width = make_divisible(self.out_features * self.bottleneck_ratio)
+        groups = max(width // self.group_size, 1)
+        width = groups * self.group_size if width >= self.group_size else width
+        conv = lambda f, k, s=1, g=1, **kw: StdConv(  # noqa: E731
+            f, (k, k), s, groups=g, gamma=_SILU_GAMMA, **kw)
+        h = jax.nn.silu(x) * self.beta
         shortcut = x
         if self.strides != 1 or x.shape[-1] != self.out_features:
             s = h
             if self.strides != 1:
                 s = nn.avg_pool(s, (2, 2), strides=(2, 2))
-            shortcut = StdConv(self.out_features, (1, 1), name="downsample")(s)
-        h = StdConv(width, (1, 1), name="conv1", gamma=_SILU_GAMMA)(h)
-        h = act(h)
-        h = StdConv(width, (3, 3), self.strides, name="conv2",
-                    gamma=_SILU_GAMMA)(h)
-        h = act(h)
-        h = StdConv(width, (3, 3), name="conv2b", gamma=_SILU_GAMMA)(h)
-        h = act(h)
-        h = StdConv(self.out_features, (1, 1), name="conv3")(h)
-        h = ECA(name="eca")(h)
-        skip_gain = self.param("skip_gain", nn.initializers.zeros, ())
-        return shortcut + h * skip_gain * self.alpha
+            shortcut = conv(self.out_features, 1, name="downsample")(s)
+        h = conv(width, 1, name="conv1")(h)
+        h = conv(width, 3, self.strides, groups, name="conv2")(jax.nn.silu(h))
+        h = conv(width, 3, 1, groups, name="conv2b")(jax.nn.silu(h))
+        h = conv(self.out_features, 1, gain_init=0.0,
+                 name="conv3")(jax.nn.silu(h))
+        h = self.attn_gain * ECA(eca_kernel_size(self.out_features),
+                                 name="attn_last")(h)
+        return shortcut + h * self.alpha
 
 
 class NFNet(nn.Module):
-    """eca_nfnet_l0-shaped normalizer-free net; pooled features out."""
+    """timm ``eca_nfnet_l0``-shaped normalizer-free net; pooled 2304-d
+    features out (num_features = channels[-1] * feat_mult 1.5)."""
 
     depths: Sequence[int] = (1, 2, 6, 3)
     channels: Sequence[int] = (256, 512, 1536, 1536)
+    group_size: int = 64
     alpha: float = 0.2
+    stem_chs: int = 128
+    feat_mult: float = 1.5
+
+    @property
+    def num_features(self) -> int:
+        return int(self.channels[-1] * self.feat_mult)
 
     @nn.compact
     def __call__(self, images, deterministic: bool = True):
-        act = lambda v: jax.nn.silu(v) * _SILU_GAMMA  # noqa: E731
-        # 4-conv stem (16, 32, 64, 128), stride 2 at first and last
-        x = StdConv(16, (3, 3), 2, name="stem0", gamma=_SILU_GAMMA)(images)
-        x = act(x)
-        x = StdConv(32, (3, 3), name="stem1", gamma=_SILU_GAMMA)(x)
-        x = act(x)
-        x = StdConv(64, (3, 3), name="stem2", gamma=_SILU_GAMMA)(x)
-        x = act(x)
-        x = StdConv(128, (3, 3), 2, name="stem3")(x)
+        conv = lambda f, k, s=1, **kw: StdConv(  # noqa: E731
+            f, (k, k), s, gamma=_SILU_GAMMA, **kw)
+        # deep_quad stem (timm create_stem): 3x3 convs at strides 2,1,1,2
+        # with out//8, out//4, out//2, out channels; silu between (not after)
+        c = self.stem_chs
+        x = conv(c // 8, 3, 2, name="stem0")(images)
+        x = conv(c // 4, 3, name="stem1")(jax.nn.silu(x))
+        x = conv(c // 2, 3, name="stem2")(jax.nn.silu(x))
+        x = conv(c, 3, 2, name="stem3")(jax.nn.silu(x))
 
-        expected_std = 1.0
+        # timm variance bookkeeping: beta from the running expected_var,
+        # reset to 1 after each stage's first block, += alpha^2 per block
+        expected_var = 1.0
         for i, (depth, ch) in enumerate(zip(self.depths, self.channels)):
             for j in range(depth):
-                beta = 1.0 / expected_std
+                beta = 1.0 / expected_var ** 0.5
+                # stem_stride is 4, so stage 0 keeps stride 1
                 strides = 2 if (j == 0 and i > 0) else 1
-                x = NFBlock(ch, strides=strides, alpha=self.alpha, beta=beta,
+                x = NFBlock(ch, group_size=self.group_size,
+                            strides=strides, alpha=self.alpha, beta=beta,
                             name=f"stage{i}_block{j}")(x)
                 if j == 0:
-                    expected_std = 1.0  # variance reset after transition
-                expected_std = (expected_std ** 2 + self.alpha ** 2) ** 0.5
-        x = StdConv(self.channels[-1] * 2, (1, 1), name="final_conv",
-                    gamma=_SILU_GAMMA)(x)
-        x = act(x)
+                    expected_var = 1.0
+                expected_var += self.alpha ** 2
+        x = conv(self.num_features, 1, name="final_conv")(x)
+        x = jax.nn.silu(x)
         return jnp.mean(x, axis=(1, 2))
 
 

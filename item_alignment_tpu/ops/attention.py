@@ -65,5 +65,23 @@ def flash_attention(
     try:
         from item_alignment_tpu.ops.pallas_attention import fused_attention
         return fused_attention(q, k, v, bias).astype(dtype)
-    except Exception:
+    except Exception as e:  # pragma: no cover - TPU-only fallback
+        _warn_fallback_once(e)
         return dot_product_attention(q, k, v, bias, dtype=dtype)
+
+
+_warned_fallback = False
+
+
+def _warn_fallback_once(exc: Exception) -> None:
+    """The Pallas kernel failing is a real regression signal — surface it
+    (once) instead of silently masking it with the XLA path."""
+    global _warned_fallback
+    if not _warned_fallback:
+        _warned_fallback = True
+        import logging
+
+        logging.getLogger("item_alignment_tpu").warning(
+            "Pallas fused attention failed (%s: %s); falling back to XLA "
+            "attention for this and subsequent calls' shapes.",
+            type(exc).__name__, exc)

@@ -103,3 +103,330 @@ def test_shape_mismatch_fails_loudly():
     sd["patch_embed.proj.weight"] = np.zeros((32, 3, 4, 4), np.float32)
     with pytest.raises(AssertionError, match="shape mismatch"):
         load_timm_vit(params, sd, num_heads=4)
+
+
+# --------------------------------------------------------------------------
+# NFNet / ResNetV2: torch re-implementations of the timm 0.6.5 forward
+# semantics (the reference pins timm==0.6.5; timm itself is not installed
+# in this image). Conversion + our Flax architectures must match these
+# numerically — this validates grouped convs, ScaledStdConv standardization,
+# ECA placement/gain, variance bookkeeping, BN folding, and torch padding.
+# --------------------------------------------------------------------------
+import torch  # noqa: E402
+import torch.nn as nn_t  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+from collections import OrderedDict  # noqa: E402
+
+from item_alignment_tpu.models.image import (  # noqa: E402
+    NFNet,
+    ResNetV2,
+    eca_kernel_size,
+    make_divisible,
+)
+from item_alignment_tpu.utils.timm_import import (  # noqa: E402
+    load_timm_nfnet,
+    load_timm_resnetv2,
+)
+
+GAMMA = 1.7881293296813965  # timm _nonlin_gamma['silu']
+
+
+class TScaledStdConv2d(nn_t.Conv2d):
+    """timm 0.6.5 layers/std_conv.py ScaledStdConv2d (gamma in weight)."""
+
+    def __init__(self, in_ch, out_ch, k, stride=1, groups=1, eps=1e-5,
+                 gain_init=1.0):
+        pad = ((stride - 1) + (k - 1)) // 2
+        super().__init__(in_ch, out_ch, k, stride=stride, padding=pad,
+                         groups=groups, bias=True)
+        self.gain = nn_t.Parameter(
+            torch.full((out_ch, 1, 1, 1), float(gain_init)))
+        self.scale = GAMMA * self.weight[0].numel() ** -0.5
+        self.eps = eps
+
+    def forward(self, x):
+        weight = F.batch_norm(
+            self.weight.reshape(1, self.out_channels, -1), None, None,
+            weight=(self.gain * self.scale).view(-1),
+            training=True, momentum=0., eps=self.eps,
+        ).reshape_as(self.weight)
+        return F.conv2d(x, weight, self.bias, self.stride, self.padding,
+                        self.dilation, self.groups)
+
+
+class TEca(nn_t.Module):
+    """timm EcaModule with the channels-adaptive kernel size."""
+
+    def __init__(self, channels):
+        super().__init__()
+        k = eca_kernel_size(channels)
+        self.conv = nn_t.Conv1d(1, 1, kernel_size=k, padding=(k - 1) // 2,
+                                bias=False)
+
+    def forward(self, x):
+        y = x.mean((2, 3)).view(x.shape[0], 1, -1)
+        y = self.conv(y)
+        return x * y.view(x.shape[0], -1, 1, 1).sigmoid()
+
+
+class TNFBlock(nn_t.Module):
+    """timm 0.6.5 nfnet.py NormFreeBlock, reg=False/extra_conv=True/
+    skipinit=False/attn_gain=2.0."""
+
+    def __init__(self, in_chs, out_chs, stride, alpha, beta, group_size):
+        super().__init__()
+        mid = make_divisible(out_chs * 0.25)
+        groups = max(mid // group_size, 1)
+        mid = group_size * groups if mid >= group_size else mid
+        self.alpha, self.beta = alpha, beta
+        self.downsample = None
+        if in_chs != out_chs or stride != 1:
+            self.pool = (nn_t.AvgPool2d(2, stride, ceil_mode=True,
+                                        count_include_pad=False)
+                         if stride > 1 else nn_t.Identity())
+            self.downsample = nn_t.Module()
+            self.downsample.conv = TScaledStdConv2d(in_chs, out_chs, 1)
+        self.conv1 = TScaledStdConv2d(in_chs, mid, 1)
+        self.conv2 = TScaledStdConv2d(mid, mid, 3, stride=stride,
+                                      groups=groups)
+        self.conv2b = TScaledStdConv2d(mid, mid, 3, groups=groups)
+        self.conv3 = TScaledStdConv2d(mid, out_chs, 1, gain_init=0.0)
+        self.attn_last = TEca(out_chs)
+
+    def forward(self, x):
+        out = F.silu(x) * self.beta
+        shortcut = x
+        if self.downsample is not None:
+            shortcut = self.downsample.conv(self.pool(out))
+        out = self.conv1(out)
+        out = self.conv2(F.silu(out))
+        out = self.conv2b(F.silu(out))
+        out = self.conv3(F.silu(out))
+        out = 2.0 * self.attn_last(out)
+        return out * self.alpha + shortcut
+
+
+class TNFNet(nn_t.Module):
+    """timm 0.6.5 NormFreeNet for _nfnet_cfg-style configs (deep_quad stem,
+    silu, eca attn_last), state-dict-key-compatible with eca_nfnet_l0."""
+
+    def __init__(self, depths, channels, group_size, stem_chs, feat_mult,
+                 alpha=0.2):
+        super().__init__()
+        self.stem = nn_t.Sequential(OrderedDict([
+            ("conv1", TScaledStdConv2d(3, stem_chs // 8, 3, stride=2)),
+            ("act2", nn_t.SiLU()),
+            ("conv2", TScaledStdConv2d(stem_chs // 8, stem_chs // 4, 3)),
+            ("act3", nn_t.SiLU()),
+            ("conv3", TScaledStdConv2d(stem_chs // 4, stem_chs // 2, 3)),
+            ("act4", nn_t.SiLU()),
+            ("conv4", TScaledStdConv2d(stem_chs // 2, stem_chs, 3, stride=2)),
+        ]))
+        prev = stem_chs
+        expected_var = 1.0
+        stages = []
+        for si, (depth, ch) in enumerate(zip(depths, channels)):
+            blocks = []
+            for bi in range(depth):
+                beta = 1.0 / expected_var ** 0.5
+                stride = 2 if (bi == 0 and si > 0) else 1
+                blocks.append(TNFBlock(prev, ch, stride, alpha, beta,
+                                       group_size))
+                if bi == 0:
+                    expected_var = 1.0
+                expected_var += alpha ** 2
+                prev = ch
+            stages.append(nn_t.Sequential(*blocks))
+        self.stages = nn_t.Sequential(*stages)
+        self.num_features = int(channels[-1] * feat_mult)
+        self.final_conv = TScaledStdConv2d(prev, self.num_features, 1)
+        self.head = nn_t.Module()
+        self.head.fc = nn_t.Linear(self.num_features, 10)  # dropped on convert
+
+    def forward(self, x):
+        x = self.stem(x)
+        x = self.stages(x)
+        x = F.silu(self.final_conv(x))
+        return x.mean((2, 3))
+
+
+class TPreActBottleneck(nn_t.Module):
+    """timm 0.6.5 resnetv2.py PreActBottleneck with BatchNormAct2d."""
+
+    def __init__(self, in_chs, out_chs, stride):
+        super().__init__()
+        mid = out_chs // 4
+        self.norm1 = nn_t.BatchNorm2d(in_chs)
+        self.conv1 = nn_t.Conv2d(in_chs, mid, 1, bias=False)
+        self.norm2 = nn_t.BatchNorm2d(mid)
+        self.conv2 = nn_t.Conv2d(mid, mid, 3, stride=stride, padding=1,
+                                 bias=False)
+        self.norm3 = nn_t.BatchNorm2d(mid)
+        self.conv3 = nn_t.Conv2d(mid, out_chs, 1, bias=False)
+        self.downsample = None
+        if in_chs != out_chs or stride != 1:
+            self.downsample = nn_t.Module()
+            self.downsample.conv = nn_t.Conv2d(in_chs, out_chs, 1,
+                                               stride=stride, bias=False)
+
+    def forward(self, x):
+        x_preact = F.relu(self.norm1(x))
+        shortcut = x
+        if self.downsample is not None:
+            shortcut = self.downsample.conv(x_preact)
+        x = self.conv1(x_preact)
+        x = self.conv2(F.relu(self.norm2(x)))
+        x = self.conv3(F.relu(self.norm3(x)))
+        return x + shortcut
+
+
+class TResNetV2(nn_t.Module):
+    def __init__(self, layers, width):
+        super().__init__()
+        self.stem = nn_t.Sequential(OrderedDict([
+            ("conv", nn_t.Conv2d(3, width, 7, stride=2, padding=3,
+                                 bias=False)),
+            ("pool", nn_t.MaxPool2d(3, 2, padding=1)),
+        ]))
+        prev = width
+        stages = []
+        for i, depth in enumerate(layers):
+            out = width * (2 ** i) * 4
+            blocks = []
+            for j in range(depth):
+                stride = 2 if (j == 0 and i > 0) else 1
+                blocks.append(TPreActBottleneck(prev, out, stride))
+                prev = out
+            stage = nn_t.Module()
+            stage.blocks = nn_t.Sequential(*blocks)
+            stages.append(stage)
+        self.stages = nn_t.Sequential(*stages)
+        self.norm = nn_t.BatchNorm2d(prev)
+        self.head = nn_t.Module()
+        self.head.fc = nn_t.Linear(prev, 10)
+
+    def forward(self, x):
+        x = self.stem(x)
+        for stage in self.stages:
+            x = stage.blocks(x)
+        x = F.relu(self.norm(x))
+        return x.mean((2, 3))
+
+
+def _randomize(model: nn_t.Module, seed: int = 0) -> None:
+    g = torch.Generator().manual_seed(seed)
+    for name, p in model.named_parameters():
+        p.data = torch.randn(p.shape, generator=g) * 0.3
+    for name, b in model.named_buffers():
+        if name.endswith("running_mean"):
+            b.data = torch.randn(b.shape, generator=g) * 0.2
+        elif name.endswith("running_var"):
+            b.data = torch.randn(b.shape, generator=g).abs() + 0.5
+
+
+def _torch_sd(model) -> dict:
+    return {k: v.numpy() for k, v in model.state_dict().items()
+            if not k.endswith("num_batches_tracked")}
+
+
+def test_nfnet_conversion_matches_timm_math():
+    depths, channels, gs, stem, fm = (1, 2), (32, 64), 8, 16, 1.5
+    tm = TNFNet(depths, channels, gs, stem, fm)
+    _randomize(tm)
+    tm.eval()
+    x = torch.randn(2, 3, 32, 32, generator=torch.Generator().manual_seed(7))
+    with torch.no_grad():
+        expected = tm(x).numpy()
+
+    fm_model = NFNet(depths=depths, channels=channels, group_size=gs,
+                     stem_chs=stem, feat_mult=fm)
+    imgs = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    params = jax.jit(fm_model.init)(jax.random.PRNGKey(0), imgs)
+    tree = load_timm_nfnet(params, _torch_sd(tm))
+    ours = np.asarray(jax.jit(fm_model.apply)(tree, imgs))
+    assert ours.shape == expected.shape == (2, 96)
+    np.testing.assert_allclose(ours, expected, rtol=2e-4, atol=2e-4)
+
+
+def test_resnetv2_conversion_matches_timm_math():
+    tm = TResNetV2(layers=(2, 2), width=8)
+    _randomize(tm, seed=3)
+    tm.eval()  # frozen BN — matches the folded-affine Flax semantics
+    x = torch.randn(2, 3, 64, 64, generator=torch.Generator().manual_seed(9))
+    with torch.no_grad():
+        expected = tm(x).numpy()
+
+    fmodel = ResNetV2(depths=(2, 2), width=8)
+    imgs = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    params = jax.jit(fmodel.init)(jax.random.PRNGKey(0), imgs)
+    tree = load_timm_resnetv2(params, _torch_sd(tm))
+    ours = np.asarray(jax.jit(fmodel.apply)(tree, imgs))
+    assert ours.shape == expected.shape == (2, 64)
+    np.testing.assert_allclose(ours, expected, rtol=2e-4, atol=2e-4)
+
+
+def _shape_map(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_shape_map(v, f"{prefix}{k}/"))
+        else:
+            out[prefix + k] = tuple(v.shape)
+    return out
+
+
+def test_eca_nfnet_l0_full_shape_contract():
+    """Converting a real-config eca_nfnet_l0 state_dict must cover EVERY
+    param of our full-size NFNet with exact shapes (no forward needed)."""
+    tm = TNFNet((1, 2, 6, 3), (256, 512, 1536, 1536), 64, 128, 1.5)
+    from item_alignment_tpu.utils.timm_import import convert_timm_nfnet
+
+    converted = convert_timm_nfnet(_torch_sd(tm))
+    model = NFNet()
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)))
+    assert _shape_map(converted) == _shape_map(variables["params"])
+    assert model.num_features == 2304  # channels[-1] * 1.5, timm feat_mult
+
+
+def test_resnetv2_50_full_shape_contract():
+    tm = TResNetV2(layers=(3, 4, 6, 3), width=64)
+    from item_alignment_tpu.utils.timm_import import convert_timm_resnetv2
+
+    converted = convert_timm_resnetv2(_torch_sd(tm))
+    model = ResNetV2()
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)))
+    assert _shape_map(converted) == _shape_map(variables["params"])
+
+
+def test_load_timm_backbone_into_two_tower():
+    """The CLI-facing loader finds the backbone subtree inside
+    ImageTwoTower params and the loaded weights change the logits."""
+    from item_alignment_tpu.config import ModelConfig
+    from item_alignment_tpu.models.image import ImageTwoTower
+    from item_alignment_tpu.utils.timm_import import load_timm_backbone
+
+    tm = TNFNet((1, 1), (32, 64), 8, 16, 1.5)
+    _randomize(tm, seed=5)
+    cfg = ModelConfig(model_name="eca_nfnet_l0",
+                      image_model_name="eca_nfnet_l0", num_labels=2)
+    model = ImageTwoTower(cfg)
+    # NFNet default fields don't match the tiny torch config; build the
+    # backbone explicitly through BACKBONES monkeypatch-free by overriding
+    import item_alignment_tpu.models.image as image_mod
+
+    orig = image_mod.BACKBONES["nfnet"]
+    image_mod.BACKBONES["nfnet"] = lambda c: NFNet(
+        depths=(1, 1), channels=(32, 64), group_size=8, stem_chs=16,
+        feat_mult=1.5)
+    try:
+        imgs = jnp.zeros((2, 32, 32, 3))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, imgs)
+        before = np.asarray(
+            jax.jit(model.apply)(params, imgs, imgs).logits)
+        tree = load_timm_backbone(params, _torch_sd(tm), "eca_nfnet_l0")
+        after = np.asarray(jax.jit(model.apply)(tree, imgs, imgs).logits)
+    finally:
+        image_mod.BACKBONES["nfnet"] = orig
+    assert not np.allclose(before, after)
