@@ -147,6 +147,11 @@ def _dump_hyperparameters(args, out_dir: str) -> None:
 
 # ------------------------------------------------------------- commands
 def cmd_prepare(argv: List[str]) -> int:
+    """Offline preprocessing with the reference's dispatch surface
+    (data_prepare.py:1508-1524): ``--only_image --object_detection`` crops,
+    ``--only_image`` writes image-pair shards, ``--with_image`` dumps/loads
+    ``image_embedding.json`` and threads it into the finetune TSVs, plain
+    runs produce the text/KG artifacts."""
     p = argparse.ArgumentParser(prog="ia-tpu prepare")
     p.add_argument("--data_dir", required=True)
     p.add_argument("--output_dir", required=True)
@@ -155,15 +160,210 @@ def cmd_prepare(argv: List[str]) -> int:
     p.add_argument("--num_neg", type=int, default=5)
     p.add_argument("--prev_valid", default=None)
     p.add_argument("--seed", type=int, default=0)
+    # image pipeline (reference data_prepare.py argparse surface)
+    p.add_argument("--with_image", action="store_true")
+    p.add_argument("--only_image", action="store_true")
+    p.add_argument("--object_detection", action="store_true")
+    p.add_argument("--dtypes", default="train,valid")
+    p.add_argument("--image_size", type=int, default=288)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--cv_model_name", default="eca_nfnet_l0")
+    p.add_argument("--pretrained_model_path", default=None,
+                   help="torch-saved timm state_dict for the embedding dump")
+    p.add_argument("--finetuned", action="store_true",
+                   help="encode with a finetuned two-tower (--file_state_dict)")
+    p.add_argument("--file_state_dict", default=None,
+                   help="finetune-image msgpack (with --finetuned)")
+    p.add_argument("--boxes_file", default=None,
+                   help="precomputed detector boxes jsonl for "
+                        "--object_detection (item_id -> [x1,y1,x2,y2,cls,conf])")
+    p.add_argument("--min_crop_ratio", type=float, default=0.1)
+    p.add_argument("--images_dir", default=None,
+                   help="defaults to <data_dir>/item_images[_cropped]")
+    p.add_argument("--shard_size", type=int, default=1024)
     args = p.parse_args(argv)
+
+    if args.only_image:
+        if args.object_detection:
+            return _prepare_object_detection(args)
+        return _prepare_image_shards(args)
     from item_alignment_tpu.data.prepare import prepare_all
 
+    img_emb = _load_image_embedding(args) if args.with_image else None
     files = prepare_all(args.data_dir, args.output_dir,
                         valid_proportion=args.valid_proportion,
                         seed=args.seed,
                         num_train_augment=args.num_train_augment,
-                        num_neg=args.num_neg, prev_valid=args.prev_valid)
+                        num_neg=args.num_neg, prev_valid=args.prev_valid,
+                        img_emb=img_emb)
     print(json.dumps(files))
+    return 0
+
+
+def _iter_item_info(path: str):
+    with open(path, encoding="utf-8") as r:
+        for line in r:
+            if line.strip():
+                yield json.loads(line)
+
+
+def _load_image_embedding(args):
+    """``load_image_embedding`` (data_prepare.py:275-364): reuse an existing
+    ``image_embedding.json`` or dump one through a pretrained/finetuned
+    image tower. Images live at ``<data_dir>/item_images_cropped/<id>.jpg``
+    like the reference; missing images get zero embeddings."""
+    import jax
+
+    out_path = os.path.join(args.output_dir, "image_embedding.json")
+    if os.path.isfile(out_path):
+        with open(out_path, encoding="utf-8") as r:
+            emb = json.load(r)
+        logger.info(f"loaded image embeddings for {len(emb)} items")
+        return emb
+
+    from item_alignment_tpu.data.images import dump_image_embeddings
+    from item_alignment_tpu.models.image import backbone_for
+
+    cfg = ModelConfig(model_name=args.cv_model_name,
+                      image_model_name=args.cv_model_name,
+                      image_size=args.image_size)
+    model = backbone_for(args.cv_model_name, cfg)
+    dummy = np.zeros((1, args.image_size, args.image_size, 3), np.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), dummy)
+    if args.finetuned:
+        # encode through our finetuned two-tower backbone
+        # (reference --finetuned branch, data_prepare.py:283-289)
+        if not args.file_state_dict:
+            raise SystemExit("--finetuned needs --file_state_dict "
+                             "(finetune-image msgpack)")
+        from flax import serialization
+
+        from item_alignment_tpu.utils.timm_import import _overlay_exact
+        with open(args.file_state_dict, "rb") as f:
+            tree = serialization.msgpack_restore(f.read())
+        tree = tree.get("params", tree)
+        backbone_keys = [k for k in tree
+                         if k.split("_")[0] in ("NFNet", "ResNetV2", "ViT")]
+        src = tree[backbone_keys[0]] if backbone_keys else tree
+        params = jax.tree_util.tree_map(np.asarray, params)
+        _overlay_exact(params["params"], src)
+    elif args.pretrained_model_path:
+        from item_alignment_tpu.utils.hf_import import load_torch_state_dict
+        from item_alignment_tpu.utils.timm_import import load_timm_backbone
+        sd = load_torch_state_dict(
+            _resolve_checkpoint_file(args.pretrained_model_path))
+        params = load_timm_backbone(params, sd, args.cv_model_name)
+    else:
+        # random weights would silently poison every downstream TSV
+        raise SystemExit("--with_image needs --pretrained_model_path (timm "
+                         "state_dict) or --finetuned --file_state_dict")
+
+    apply_fn = jax.jit(model.apply)
+
+    def encode(imgs: np.ndarray) -> np.ndarray:
+        out = apply_fn(params, imgs.astype(np.float32))
+        if isinstance(out, tuple):  # ViT returns (cls, tokens)
+            out = out[0]
+        return np.asarray(out)
+
+    info = os.path.join(args.data_dir, "item_info.jsonl")
+    images_dir = args.images_dir or os.path.join(args.data_dir,
+                                                 "item_images_cropped")
+    ids, paths = [], []
+    for d in _iter_item_info(info):
+        ids.append(d["item_id"])
+        paths.append(os.path.join(images_dir, f"{d['item_id']}.jpg"))
+    feat_dim = int(encode(np.zeros(
+        (1, args.image_size, args.image_size, 3), np.float32)).shape[-1])
+    emb = dump_image_embeddings(ids, paths, encode, out_path,
+                                image_size=args.image_size,
+                                batch_size=args.batch_size,
+                                missing_dim=feat_dim)
+    logger.info(f"dumped {len(emb)} image embeddings (dim {feat_dim})")
+    return emb
+
+
+def _prepare_image_shards(args) -> int:
+    """``image_data`` (data_prepare.py:1350-1448): pair files -> transformed
+    image pairs -> npz shards (our tensorpack-LMDB replacement)."""
+    from item_alignment_tpu.data.images import (
+        eval_transform,
+        load_image,
+        train_transform,
+        write_image_shards,
+    )
+
+    id2name = {d["item_id"]: d.get("item_image_name", f"{d['item_id']}.jpg")
+               for d in _iter_item_info(
+                   os.path.join(args.data_dir, "item_info.jsonl"))}
+    images_dir = args.images_dir or os.path.join(args.data_dir, "item_images")
+    rng = np.random.RandomState(args.seed)
+    written = {}
+    for dtype in args.dtypes.split(","):
+        pair_file = {"train": "item_train_pair.jsonl",
+                     "valid": "item_valid_pair.jsonl",
+                     "test": "item_test_pair.jsonl"}[dtype]
+        path = os.path.join(args.data_dir, pair_file)
+        if not os.path.exists(path):
+            logger.warning(f"skipping {dtype}: no {pair_file}")
+            continue
+
+        def gen():
+            skipped = 0
+            with open(path, encoding="utf-8") as r:
+                for line in r:
+                    d = json.loads(line)
+                    sid, tid = d["src_item_id"], d["tgt_item_id"]
+                    label = int(d.get("item_label", 0))
+                    img1 = load_image(os.path.join(images_dir,
+                                                   id2name.get(sid, "")))
+                    img2 = load_image(os.path.join(images_dir,
+                                                   id2name.get(tid, "")))
+                    if img1 is None or img2 is None:
+                        skipped += 1  # broken images dropped (data.py:859)
+                        continue
+                    if dtype == "train":
+                        t1 = train_transform(img1, args.image_size, rng)
+                        t2 = train_transform(img2, args.image_size, rng)
+                    else:
+                        t1 = eval_transform(img1, args.image_size)
+                        t2 = eval_transform(img2, args.image_size)
+                    yield (f"{sid}|{tid}", t1.astype(np.float32),
+                           t2.astype(np.float32), label)
+            if skipped:
+                logger.warning(f"[{dtype}] skipped {skipped} broken pairs")
+
+        written[dtype] = write_image_shards(
+            gen(), args.output_dir, shard_size=args.shard_size,
+            prefix=f"{dtype}_feat")
+    print(json.dumps(written))
+    return 0
+
+
+def _prepare_object_detection(args) -> int:
+    """Detection-guided crop with precomputed boxes (the offline substitute
+    for the reference's torch.hub YOLOv5 pass, data_prepare.py:1450-1505)."""
+    from item_alignment_tpu.data.images import crop_images_with_boxes
+
+    boxes = {}
+    if args.boxes_file:
+        with open(args.boxes_file, encoding="utf-8") as r:
+            text = r.read()
+        try:  # one json dict {item_id: [...boxes...]}
+            boxes = json.loads(text)
+        except json.JSONDecodeError:  # jsonl rows {"item_id":..., "boxes":...}
+            for line in text.splitlines():
+                if line.strip():
+                    d = json.loads(line)
+                    boxes[d["item_id"]] = d["boxes"]
+    else:
+        logger.warning("no --boxes_file: every image is copied uncropped")
+    images_dir = args.images_dir or os.path.join(args.data_dir, "item_images")
+    out_dir = os.path.join(args.output_dir, "item_images_cropped")
+    stats = crop_images_with_boxes(
+        os.path.join(args.data_dir, "item_info.jsonl"), images_dir, out_dir,
+        boxes, args.min_crop_ratio)
+    print(json.dumps({"output_dir": out_dir, **stats}))
     return 0
 
 
@@ -522,17 +722,28 @@ def cmd_model_soup(argv: List[str]) -> int:
 
 
 def cmd_pred_text(argv: List[str]) -> int:
-    """Encode every KG entity's text -> feature matrix for the GCN
-    (pred_text.py:65-192)."""
+    """Encode every KG entity's text with the (pre)trained RoBERTa ->
+    pooled feature matrix for the GCN (pred_text.py:65-192: jieba-cut item
+    titles / value strings, pooler_output rows in entity-id order).
+
+    Weights are REQUIRED: ``--pretrained_model_path`` (HF dir) and/or
+    ``--file_state_dict`` (finetune-text msgpack overlay) — a random
+    encoder would silently hand the GCN noise features."""
     p = argparse.ArgumentParser(prog="ia-tpu pred-text")
     p.add_argument("--entity2id", required=True)
     p.add_argument("--item_info", required=True)
     p.add_argument("--vocab_path", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument("--config_file", default=None)
+    p.add_argument("--model_name", default="roberta_large")
+    p.add_argument("--pretrained_model_path", default=None,
+                   help="HF dir with pytorch_model.bin")
+    p.add_argument("--file_state_dict", default=None,
+                   help="finetune-text params msgpack (overlays the encoder)")
     p.add_argument("--max_seq_len", type=int, default=64)
     p.add_argument("--batch_size", type=int, default=64)
-    p.add_argument("--hidden_size", type=int, default=128)
-    p.add_argument("--num_hidden_layers", type=int, default=2)
+    p.add_argument("--allow_random_weights", action="store_true",
+                   help="escape hatch for tests/smoke runs")
     args = p.parse_args(argv)
 
     import jax
@@ -542,8 +753,15 @@ def cmd_pred_text(argv: List[str]) -> int:
         load_kg_tokenizers,
         load_text_tokenizer,
     )
-    from item_alignment_tpu.models.text import RobertaBackbone
     from item_alignment_tpu.models.encoder import Pooler
+    from item_alignment_tpu.models.text import RobertaBackbone
+
+    if not (args.pretrained_model_path or args.file_state_dict
+            or args.allow_random_weights):
+        raise SystemExit(
+            "pred-text needs --pretrained_model_path and/or "
+            "--file_state_dict; refusing to build the GCN feature matrix "
+            "from random weights (pass --allow_random_weights to override)")
 
     tok = load_text_tokenizer(args.vocab_path)
     ents, _ = load_kg_tokenizers(args.entity2id, args.entity2id)
@@ -554,23 +772,67 @@ def cmd_pred_text(argv: List[str]) -> int:
             id_dict[d["item_id"]] = d
 
     def entity_text(name: str) -> str:
+        # the reference jieba-cuts item titles before encoding
+        # (pred_text.py:88-92); value strings pass through unchanged
         if name.startswith("/item/"):
-            return id_dict.get(name[len("/item/"):], {}).get("title", "")
+            title = id_dict.get(name[len("/item/"):], {}).get("title", "")
+            from item_alignment_tpu.data.prepare import segment_title
+            return segment_title(title)
         return name.split("/value/")[-1]
 
     names = sorted(ents, key=lambda n: ents[n])
-    cfg = ModelConfig(vocab_size=len(tok), hidden_size=args.hidden_size,
-                      num_hidden_layers=args.num_hidden_layers,
-                      num_attention_heads=4,
-                      intermediate_size=args.hidden_size * 4,
-                      hidden_dropout_prob=0.0,
-                      attention_probs_dropout_prob=0.0)
+    kw = dict(vocab_size=len(tok), hidden_dropout_prob=0.0,
+              attention_probs_dropout_prob=0.0)
+    if args.config_file:
+        cfg = ModelConfig.from_json(args.config_file, **kw)
+    elif "large" in args.model_name:
+        cfg = ModelConfig.roberta_large().replace(**kw)
+    else:
+        cfg = ModelConfig(**kw)
     backbone = RobertaBackbone(cfg)
     pooler = Pooler(cfg)
     ids0 = jnp.ones((args.batch_size, args.max_seq_len), jnp.int32)
     bparams = jax.jit(backbone.init)({"params": jax.random.PRNGKey(0)}, ids0)
     pparams = jax.jit(pooler.init)(jax.random.PRNGKey(1),
                                    jnp.ones((1, 1, cfg.hidden_size)))
+
+    if args.pretrained_model_path:
+        from item_alignment_tpu.utils.hf_import import (
+            convert_encoder_state_dict,
+            load_torch_state_dict,
+            _overlay,
+        )
+        sd = load_torch_state_dict(os.path.join(
+            args.pretrained_model_path, "pytorch_model.bin"))
+        tree = convert_encoder_state_dict(sd, cfg.type_vocab_size,
+                                          cfg.max_position_embeddings)
+        bparams = jax.tree_util.tree_map(np.asarray, bparams)
+        for k in ("embeddings", "encoder"):
+            _overlay(bparams["params"][k], tree[k])
+        # HF RobertaModel ships pooler weights; use them when present
+        pkey = [k for k in sd if k.endswith("pooler.dense.weight")]
+        if pkey:
+            prefix = pkey[0][: -len(".weight")]
+            pparams = jax.tree_util.tree_map(np.asarray, pparams)
+            pparams["params"]["dense"]["kernel"] = np.asarray(
+                sd[prefix + ".weight"]).T.astype(np.float32)
+            pparams["params"]["dense"]["bias"] = np.asarray(
+                sd[prefix + ".bias"]).astype(np.float32)
+        logger.info("loaded pretrained encoder (+pooler) weights")
+    if args.file_state_dict:
+        # finetuned one-tower params: {"roberta": {embeddings, encoder}, ...}
+        from flax import serialization
+
+        from item_alignment_tpu.utils.hf_import import _overlay
+        with open(args.file_state_dict, "rb") as f:
+            ft = serialization.msgpack_restore(f.read())
+        ft = ft.get("params", ft)
+        src = ft.get("roberta", ft)
+        bparams = jax.tree_util.tree_map(np.asarray, bparams)
+        for k in ("embeddings", "encoder"):
+            assert k in src, f"no '{k}' subtree in {args.file_state_dict}"
+            _overlay(bparams["params"][k], src[k])
+        logger.info(f"overlaid finetuned encoder from {args.file_state_dict}")
 
     @jax.jit
     def encode(ids, mask):
@@ -596,6 +858,95 @@ def cmd_pred_text(argv: List[str]) -> int:
     return 0
 
 
+def cmd_build_graph(argv: List[str]) -> int:
+    """Build the GCN inputs nothing else produces: the normalized
+    item/attribute adjacency (``edges.npz``) and the src_idx/tgt_idx pair
+    files. Re-expresses the reference's commented-out adjacency
+    construction (data_prepare.py:655-731: item <-> cate_name value,
+    item <-> industry_name value, item <-> each pv value, symmetric)
+    and the finetune_graph pair indexing (finetune_graph.py:74-125)."""
+    p = argparse.ArgumentParser(prog="ia-tpu build-graph")
+    p.add_argument("--item_info", required=True)
+    p.add_argument("--entity2id", required=True)
+    p.add_argument("--train_pairs", required=True,
+                   help="item_train_pair.jsonl")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--valid_proportion", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pad_to", type=int, default=None,
+                   help="pad the edge list to a static size")
+    args = p.parse_args(argv)
+
+    from item_alignment_tpu.data.prepare import load_item_info
+    from item_alignment_tpu.data.tokenization import load_kg_tokenizers
+    from item_alignment_tpu.ops.sparse import normalize_adjacency, pad_edges
+
+    ents, _ = load_kg_tokenizers(args.entity2id, args.entity2id)
+    n_nodes = max(ents.values()) + 1
+    src, dst = [], []
+
+    def connect(i: int, tail_key: str) -> None:
+        j = ents.get(tail_key)
+        if j is None:
+            return
+        src.extend((i, j))
+        dst.extend((j, i))
+
+    n_items = 0
+    id_dict, _, _ = load_item_info(args.item_info)  # parses item/sku pvs
+    for item_id, d in id_dict.items():
+        head = f"/item/{item_id}"
+        if head not in ents:
+            continue
+        n_items += 1
+        i = ents[head]
+        connect(i, f"/value/{d['cate_name']}-{d['cate_id']}")
+        connect(i, f"/value/{d['industry_name']}")
+        for vals in (d.get("pvs") or {}).values():
+            for v in vals:
+                connect(i, f"/value/{v}")
+    edge_index = np.stack([np.asarray(src, np.int64),
+                           np.asarray(dst, np.int64)])
+    # dedup symmetric duplicates (shared pv values repeat across skus)
+    edge_index = np.unique(edge_index, axis=1)
+    ei, ew = normalize_adjacency(edge_index, n_nodes)
+    if args.pad_to:
+        ei, ew = pad_edges(ei, ew, args.pad_to)
+    os.makedirs(args.output_dir, exist_ok=True)
+    edges_path = os.path.join(args.output_dir, "edges.npz")
+    np.savez_compressed(edges_path, edge_index=ei, edge_weight=ew,
+                        n_nodes=np.int64(n_nodes))
+
+    # pair files with entity indices, split like finetune_graph expects
+    import random as pyrandom
+
+    e2idx = {k[len("/item/"):]: v for k, v in ents.items()
+             if k.startswith("/item/")}
+    rows = []
+    with open(args.train_pairs, encoding="utf-8") as r:
+        for line in r:
+            if not line.strip():
+                continue
+            d = json.loads(line)
+            d["src_idx"] = e2idx[d["src_item_id"]]
+            d["tgt_idx"] = e2idx[d["tgt_item_id"]]
+            rows.append(d)
+    pyrandom.Random(args.seed).shuffle(rows)
+    n_valid = int(len(rows) * args.valid_proportion)
+    out_files = {}
+    for name, chunk in (("item_train_valid_pair.jsonl", rows[:n_valid]),
+                        ("item_train_train_pair.jsonl", rows[n_valid:])):
+        path = os.path.join(args.output_dir, name)
+        with open(path, "w", encoding="utf-8") as w:
+            for d in chunk:
+                w.write(json.dumps(d, ensure_ascii=False) + "\n")
+        out_files[name] = len(chunk)
+    print(json.dumps({"edges": edges_path, "n_nodes": n_nodes,
+                      "n_items": n_items,
+                      "n_edges": int(edge_index.shape[1]), **out_files}))
+    return 0
+
+
 def cmd_finetune_image(argv: List[str]) -> int:
     """Image two-tower finetune over npz image shards (finetune_image.py)."""
     p = argparse.ArgumentParser(prog="ia-tpu finetune-image")
@@ -610,18 +961,28 @@ def cmd_finetune_image(argv: List[str]) -> int:
     from item_alignment_tpu.engine.train import Trainer
     from item_alignment_tpu.models import build_model
 
-    imgs1, imgs2, labels, pair_ids = [], [], [], []
+    imgs1, imgs2, labels, src_ids, tgt_ids = [], [], [], [], []
     for shard in read_image_shards(args.shards):
+        pre_transformed = shard["images_1"].dtype != np.uint8
         for i in range(len(shard["labels"])):
-            imgs1.append(eval_transform(shard["images_1"][i], args.image_size))
-            imgs2.append(eval_transform(shard["images_2"][i], args.image_size))
+            if pre_transformed:  # prepare --only_image already normalized
+                imgs1.append(np.asarray(shard["images_1"][i], np.float32))
+                imgs2.append(np.asarray(shard["images_2"][i], np.float32))
+            else:
+                imgs1.append(eval_transform(shard["images_1"][i],
+                                            args.image_size))
+                imgs2.append(eval_transform(shard["images_2"][i],
+                                            args.image_size))
             labels.append(int(shard["labels"][i]))
-            pair_ids.append(str(shard["pair_ids"][i]))
+            pid = str(shard["pair_ids"][i])
+            sid, _, tid = pid.partition("|")
+            src_ids.append(sid)
+            tgt_ids.append(tid or sid)
     ds = ArrayDataset({"images_1": np.stack(imgs1).astype(np.float32),
                        "images_2": np.stack(imgs2).astype(np.float32),
                        "labels": np.asarray(labels, np.int32)},
-                      meta={"src_item_id": pair_ids,
-                            "tgt_item_id": pair_ids})
+                      meta={"src_item_id": src_ids,
+                            "tgt_item_id": tgt_ids})
     cfg = _model_config(args, image_model_name=args.model_name,
                         image_size=args.image_size,
                         interaction_type="two_tower")
@@ -1212,6 +1573,7 @@ def cmd_pred_bert(argv: List[str]) -> int:
 
 COMMANDS = {
     "prepare": cmd_prepare,
+    "build-graph": cmd_build_graph,
     "finetune-text": cmd_finetune_text,
     "finetune-image": cmd_finetune_image,
     "finetune-multimodal": cmd_finetune_multimodal,

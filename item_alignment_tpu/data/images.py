@@ -118,11 +118,18 @@ def dump_image_embeddings(item_ids: Sequence[str],
                           image_paths: Sequence[str],
                           encode_fn: Callable[[np.ndarray], np.ndarray],
                           out_path: str, image_size: int = 288,
-                          batch_size: int = 32) -> Dict[str, List[float]]:
+                          batch_size: int = 32,
+                          missing_dim: Optional[int] = None
+                          ) -> Dict[str, List[float]]:
     """Run an image tower over all items, write ``image_embedding.json``
-    {item_id: embedding} (load_image_embedding, data_prepare.py:275-364)."""
+    {item_id: embedding} (load_image_embedding, data_prepare.py:275-364).
+
+    With ``missing_dim`` set, broken/missing images get a zero embedding of
+    that size (the reference's ``img_emb_missing``, data_prepare.py:304);
+    otherwise they are skipped."""
     result: Dict[str, List[float]] = {}
     batch_imgs, batch_ids = [], []
+    missing = ([0.0] * missing_dim) if missing_dim else None
 
     def flush():
         if not batch_imgs:
@@ -136,6 +143,8 @@ def dump_image_embeddings(item_ids: Sequence[str],
     for iid, path in zip(item_ids, image_paths):
         img = load_image(path)
         if img is None:
+            if missing is not None:
+                result[iid] = list(missing)
             continue
         batch_imgs.append(eval_transform(img, image_size))
         batch_ids.append(iid)
@@ -188,6 +197,163 @@ def read_image_shards(paths: Sequence[str]):
 
 
 # ------------------------------------------------- detection-guided crop
+# Per-category YOLO class whitelist — a data constant the crop pipeline
+# must share with the reference (CATE2YOLO_CLASS, data_prepare.py:36-169).
+CATE2YOLO_CLASS = {
+    '手机保护套/壳': ['cell phone'], '手机': ['cell phone'],
+    '空调': ['vase', 'cell phone', 'tv', 'microwave'],
+    '微波炉': ['micro wave'], '电烤箱': ['microwave', 'oven'],
+    '剃须刀': ['parking meter', 'mouse', 'remote'],
+    '专业数码单反': ['cell phone', 'truck'],
+    '洗烘套装': ['cell phone', 'oven', 'traffic light'],
+    '养生壶/煎药壶': ['cup'],
+    '电热毯/电热垫/电热地毯': ['bed', 'suitcase', 'tie', 'handbag'],
+    '电热毯/水暖毯': ['bed'],
+    '智能音箱': ['cell phone', 'sports ball', 'laptop', 'vase', 'bottle'],
+    '茶吧机/泡茶机': ['refrigerator', 'oven'], '洗地机': ['truck', 'toaster'],
+    '饮水机': ['refrigerator', 'cell phone', 'parking meter', 'laptop',
+               'microwave'],
+    '电磁炉/陶炉': ['cell phone', 'oven', 'toaster'],
+    '游戏电竞头戴耳机': ['scissors', 'cup', 'airplane', 'truck'],
+    '休闲裤': ['person'], '毛衣': ['person'], '帽子': ['person', 'kite'],
+    '马丁靴': ['person', 'handbag', 'suitcase'],
+    '金骏眉': ['bowl', 'dining table'], '传统黄酒': ['bottle', 'vase'],
+    '驼奶及驼奶粉': ['book', 'cup', 'refrigerator', 'bottle'],
+    '果酒': ['bottle'], '速溶咖啡': ['bottle', 'book'],
+    '牛仔裤': ['person', 'tie', 'handbag', 'suitcase'],
+    '休闲运动套装': ['person', 'bed'], '中老年女装': ['person', 'vase'],
+    '半身裙': ['person', 'umbrella'], '男士包袋': ['suitcase', 'handbag'],
+    '休闲皮鞋': ['handbag', 'person'], '时尚套装': ['person'],
+    '蕾丝衫/雪纺衫': ['person', 'bed'], '时尚休闲鞋': ['cake', 'person'],
+    '双肩背包': ['backpack', 'suitcase', 'handbag'],
+    '毛针织衫': ['person', 'tie'], '围巾/丝巾/披肩': ['tie', 'person'],
+    '旗袍': ['person'], '大码女装': ['person'],
+    '板鞋': ['handbag', 'suitcase', 'cake', 'surfboard', 'skateboard'],
+    '卫裤': ['person', 'handbag'], '瑞士腕表': ['clock'],
+    '国产腕表': ['clock'], '衬衫': ['person'],
+    '颈饰': ['person', 'cake', 'vase', 'sports ball', 'bottle', 'cup'],
+    '投资贵金属': ['clock', 'frisbee', 'teddy bear', 'horse', 'vase'],
+    '背心吊带': ['person', 'cake'], '日韩腕表': ['clock'],
+    '钱包': ['suitcase', 'cell phone', 'handbag'],
+    '电动自行车': ['bicycle', 'motorcycle'], '餐桌': ['dining table'],
+    '收纳箱': ['suitcase', 'vase', 'refrigerator', 'oven', 'surfboard',
+               'tv'],
+    '碗': ['bowl', 'cup'], '炒锅': ['bowl'], '鲜花速递(同城)': ['potted plant'],
+    '仓储货架': ['bench', 'bed'], '垃圾桶': ['cup', 'toilet', 'refrigerator'],
+    '电脑椅': ['chair'], '茶几': ['dining table'], '化纤被': ['bed', 'person'],
+    '茶道/零配': ['vase', 'bottle', 'bowl', 'knife'],
+    '智能车机导航': ['cell phone', 'tv', 'car'],
+    '乳胶床垫': ['bed', 'suitcase', 'laptop'],
+    '普通坐便器': ['toilet', 'refrigerator'], '狗狗': ['dog', 'teddy bear'],
+    '乳胶枕': ['keyboard', 'bed', 'remote', 'knife', 'surfboard',
+               'suitcase', 'cake'],
+    '弹簧床垫': ['bed', 'keyboard'], '羽绒/羽毛被': ['bed'],
+    '桌布': ['dining table'], '书桌': ['dining table'],
+    '椰棕床垫': ['bed', 'cake', 'keyboard'], '电脑桌': ['dining table'],
+    '茶壶': ['vase', 'mouse'], '投影机': ['toaster', 'microwave', 'car'],
+    '洗漱包': ['suitcase'], '摩托车整车': ['truck', 'motorcycle'],
+    '护手霜': ['cup', 'book', 'bottle', 'frisbee', 'cell phonne'],
+    '贴片面膜': ['book', 'bottle'],
+    '隔离/妆前': ['bottle', 'toothbrush', 'refrigerator'],
+    '洗发水': ['bottle'], '美甲工具': ['person', 'toothbrush', 'baseball bat'],
+    '润唇膏': ['cup', 'bottle'], '男士面部乳霜': ['bottle', 'cell phone'],
+    '电动牙刷': ['toothbrush'], '洗护套装': ['bottle', 'cup'],
+    '涂抹面膜': ['cup', 'book', 'bottle', 'vase'],
+    '化妆刷': ['knife', 'spoon', 'baseball bat', 'vase', 'toothbrush',
+               'scissors', 'book'],
+    '彩妆套装': ['suitcase'], '身体乳/霜': ['bottle'],
+    '眼霜': ['cup', 'book', 'bottle', 'vase'], '指甲彩妆': ['bottle', 'person'],
+    '私处保养': ['bottle', 'vase'], '脱毛膏': ['bottle', 'book', 'cup'],
+    '男士护理套装': ['bottle', 'cell phone', 'microwave', 'refrigerator'],
+    '棉柔巾': ['book', 'remote'], 'KTV/卡拉OK音箱': ['tv'],
+    'DIY兼容机': ['microwave', 'traffic light'], '自热火锅': ['bowl'],
+    '智能手环': ['cell phone'], '智能手表': ['cell phone'],
+    '智能儿童手表': ['cell phone'], '茶生壶/煎药壶': ['cup'],
+    '显示器': ['tv'],
+    '女士脱毛/剃毛器': ['cell phone', 'toothbrush', 'vase', 'tennis racket'],
+    '空气炸锅': ['oven', 'cell phone'],
+    '麦克风/话筒': ['toothbrush', 'parking meter'],
+    '空气净化器': ['refrigerator', 'cup'], '净水器': ['bottle'],
+    '颈椎/腰椎按摩器': ['traffic light'],
+    '颈椎按摩器': ['scissors', 'mouse', 'traffic light', 'handbag'],
+    '键盘': ['keyboard'],
+    '加湿器': ['vase', 'refrigerator', 'cup', 'cell phone'],
+    '电子美容仪': ['vase', 'hair drier', 'scissors', 'toothbrush',
+                   'cell phone'],
+    '电热水壶': ['cup', 'microwave', 'refrigerator'],
+    '电磁炉/掏炉': ['cell phone', 'toaster', 'oven'],
+    '电吹风': ['hair drier', 'motorcycle'],
+    '单反镜头': ['microwave', 'bottle', 'cell phone', 'book'],
+    '除螨仪': ['mouse', 'cell phone'], '超声波迷你清洗机': ['cup'],
+    '笔记本电脑': ['laptop'], '啤酒': ['bottle'],
+}
+
+
+def yolo_box_crop(img: np.ndarray, box: Sequence[float], gain: float = 1.02,
+                  pad: float = 10.0) -> np.ndarray:
+    """yolov5 ``save_one_box`` crop geometry: xyxy -> xywh, wh scaled by
+    ``gain`` + ``pad`` pixels, back to xyxy, clipped, cropped. The
+    reference saves crops through this helper (data_prepare.py:1486)."""
+    h, w = img.shape[:2]
+    x1, y1, x2, y2 = box[:4]
+    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+    bw = abs(x2 - x1) * gain + pad
+    bh = abs(y2 - y1) * gain + pad
+    x1n = int(max(cx - bw / 2, 0))
+    y1n = int(max(cy - bh / 2, 0))
+    x2n = int(min(cx + bw / 2, w))
+    y2n = int(min(cy + bh / 2, h))
+    if x2n <= x1n or y2n <= y1n:
+        return img
+    return img[y1n:y2n, x1n:x2n]
+
+
+def crop_images_with_boxes(item_info_path: str, images_dir: str,
+                           out_dir: str, boxes: Dict[str, List],
+                           min_crop_ratio: float = 0.1) -> Dict[str, int]:
+    """Offline substitute for the reference's YOLOv5 ``object_detection``
+    pass (data_prepare.py:1450-1505, which shells out to torch.hub and is
+    not runnable offline): ``boxes`` maps item_id to detector outputs
+    ``[x1, y1, x2, y2, class_name, confidence]`` precomputed by any
+    detector. Picks the LARGEST box whose class is whitelisted for the
+    item's category (CATE2YOLO_CLASS) and whose area ratio exceeds
+    ``min_crop_ratio``; otherwise the original image is copied. Writes
+    ``<item_id>.jpg`` files into ``out_dir``."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    stats = {"cropped": 0, "copied": 0, "missing": 0}
+    with open(item_info_path, encoding="utf-8") as r:
+        for line in r:
+            d = json.loads(line)
+            item_id = d["item_id"]
+            name = d.get("item_image_name") or f"{item_id}.jpg"
+            img = load_image(os.path.join(images_dir, name))
+            if img is None:
+                stats["missing"] += 1
+                continue
+            whitelist = CATE2YOLO_CLASS.get(d.get("cate_name", ""))
+            out = img
+            if whitelist is not None:
+                h, w = img.shape[:2]
+                dets = sorted(boxes.get(item_id, []),
+                              key=lambda b: abs(b[3] - b[1]) * abs(b[2] - b[0]),
+                              reverse=True)
+                for det in dets:
+                    if det[4] not in whitelist:
+                        continue
+                    ratio = (abs(det[3] - det[1]) * abs(det[2] - det[0])
+                             / float(h * w))
+                    if ratio > min_crop_ratio:
+                        out = yolo_box_crop(img, det)
+                        break
+            key = "cropped" if out is not img else "copied"
+            stats[key] += 1
+            Image.fromarray(out).save(
+                os.path.join(out_dir, f"{item_id}.jpg"), quality=95)
+    return stats
+
+
 def crop_largest_detection(
     img: np.ndarray,
     detections: Sequence[Tuple[float, float, float, float, str, float]],

@@ -370,10 +370,14 @@ def read_finetune_tsv(path: str, id_dict: Optional[Dict] = None,
 
 def prepare_all(data_dir: str, output_dir: str, valid_proportion: float = 0.1,
                 seed: int = 0, num_train_augment: int = 0, num_neg: int = 5,
-                prev_valid: Optional[str] = None) -> Dict[str, str]:
+                prev_valid: Optional[str] = None,
+                img_emb: Optional[Dict[str, Sequence[float]]] = None
+                ) -> Dict[str, str]:
     """Full offline pipeline: stats -> KG files -> ordered finetune TSVs.
     Expects ``item_info.jsonl`` and ``item_train_pair.jsonl`` (and optionally
-    ``item_test_pair.jsonl``) under ``data_dir``."""
+    ``item_test_pair.jsonl``) under ``data_dir``.  With ``img_emb`` set
+    (``--with_image``), TSV rows carry the 9-column image-embedding layout
+    the multimodal models consume (data_prepare.py:786-800)."""
     info_path = os.path.join(data_dir, "item_info.jsonl")
     train_pair = os.path.join(data_dir, "item_train_pair.jsonl")
     id_dict, cate_count, relation_count = load_item_info(info_path)
@@ -387,11 +391,14 @@ def prepare_all(data_dir: str, output_dir: str, valid_proportion: float = 0.1,
     with open(os.path.join(output_dir, "cate2id.json"), "w", encoding="utf-8") as w:
         json.dump(cate2id, w, ensure_ascii=False)
 
-    pairs = build_finetune_pairs(id_dict, relation_count, train_pair)
-    train, valid = split_train_valid(pairs, valid_proportion, seed, prev_valid)
+    pairs = build_finetune_pairs(id_dict, relation_count, train_pair,
+                                 img_emb=img_emb)
+    train, valid = split_train_valid(pairs, valid_proportion, seed, prev_valid,
+                                     with_image=img_emb is not None)
     if num_train_augment > 0:
         train = train + augment_easy_negatives(
-            id_dict, relation_count, num_train_augment, num_neg, seed)
+            id_dict, relation_count, num_train_augment, num_neg, seed,
+            img_emb=img_emb)
     out = {}
     out["train"] = os.path.join(output_dir, "finetune_train_train.tsv")
     out["valid"] = os.path.join(output_dir, "finetune_train_valid.tsv")
@@ -400,7 +407,7 @@ def prepare_all(data_dir: str, output_dir: str, valid_proportion: float = 0.1,
     test_pair = os.path.join(data_dir, "item_test_pair.jsonl")
     if os.path.exists(test_pair):
         test_rows = build_finetune_pairs(id_dict, relation_count, test_pair,
-                                         default_label="0")
+                                         img_emb=img_emb, default_label="0")
         out["test"] = os.path.join(output_dir, "finetune_test.tsv")
         write_tsv(test_rows, out["test"])
     logger.info(f"[prepare_all] train={len(train)} valid={len(valid)}")

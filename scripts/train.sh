@@ -54,18 +54,36 @@ $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
   --max_seq_len 50 --max_seq_len_pv 205 --train_batch_size 64 \
   --learning_rate 1e-3 --epochs 10 --do_train
 
-# 6. roberta_image_large v5 one-tower ensemble=begin
+# 6a. image offline pipeline: detection-guided crops (boxes precomputed by
+#     any external detector; omit --boxes_file to copy images uncropped),
+#     then the pretrained-NFNet embedding dump threaded into 9-col TSVs.
+#     TIMM_NFNET is a torch-saved eca_nfnet_l0 state_dict.
+$IA prepare --data_dir "$DATA_DIR/raw" --output_dir "$DATA_DIR/raw" \
+  --only_image --object_detection ${BOXES_FILE:+--boxes_file "$BOXES_FILE"} \
+  --min_crop_ratio 0.1
+$IA prepare --data_dir "$DATA_DIR/raw" \
+  --output_dir "$DATA_DIR/processed_image" --with_image \
+  --cv_model_name eca_nfnet_l0 \
+  --pretrained_model_path "${TIMM_NFNET:-$PRETRAINED/eca_nfnet_l0.bin}" \
+  --image_size 288 --valid_proportion 0.1
+
+# 6b. roberta_image_large v5 one-tower ensemble=begin
 $IA finetune-multimodal --data_dir "$DATA_DIR/processed_image" \
   --output_dir "$OUT" --vocab_path "$VOCAB" \
   --config_file configs/roberta_image_large.json \
+  --pretrained_model_path "$PRETRAINED" \
   --model_name roberta_image_large --data_version v5 --ensemble begin \
   --max_seq_len 50 --max_seq_len_pv 205 --train_batch_size 32 \
   --learning_rate 5e-5 --epochs 10 --bf16 --do_train
 
-# 7. eca_nfnet_l0 image two-tower (image_size 1000 in the reference; 800
-#    keeps v5e HBM happy at batch 16)
+# 7. eca_nfnet_l0 image two-tower from pair-image shards (image_size 1000
+#    in the reference; 800 keeps v5e HBM happy at batch 16)
+$IA prepare --data_dir "$DATA_DIR/raw" \
+  --output_dir "$DATA_DIR/image_shards" --only_image \
+  --dtypes train,valid --image_size 800
 $IA finetune-image --data_dir "$DATA_DIR" --output_dir "$OUT" \
   --shards "$DATA_DIR"/image_shards/train_feat_*.npz \
+  --pretrained_model_path "${TIMM_NFNET:-$PRETRAINED/eca_nfnet_l0.bin}" \
   --model_name eca_nfnet_l0 --data_version v6 --image_size 800 \
   --train_batch_size 16 --learning_rate 1e-4 --epochs 10 --bf16 --do_train
 
@@ -75,12 +93,21 @@ $IA finetune-bert --train_file "$DATA_DIR/item-align-train.json" \
   --config_file configs/roberta_base.json --output_dir "$OUT/bert_base" \
   --batch_size 8 --epochs 3 --adversarial MIX
 
-# 9. GCN over the item/attribute graph (features from pred-text)
+# 9. GCN over the item/attribute graph: adjacency + indexed pair files,
+#    features from the finetuned flagship encoder
+$IA build-graph --item_info "$DATA_DIR/raw/item_info.jsonl" \
+  --entity2id "$DATA_DIR/processed/entity2id.txt" \
+  --train_pairs "$DATA_DIR/raw/item_train_pair.jsonl" \
+  --output_dir "$DATA_DIR/graph" --valid_proportion 0.1
 $IA pred-text --entity2id "$DATA_DIR/processed/entity2id.txt" \
   --item_info "$DATA_DIR/raw/item_info.jsonl" --vocab_path "$VOCAB" \
-  --output "$DATA_DIR/feature_matrix.npy"
-$IA finetune-graph --feature_matrix "$DATA_DIR/feature_matrix.npy" \
-  --edges "$DATA_DIR/edges.npz" \
-  --train_pairs "$DATA_DIR/item_train_train_pair.jsonl" \
-  --valid_pairs "$DATA_DIR/item_train_valid_pair.jsonl" \
+  --config_file configs/roberta_large.json \
+  --pretrained_model_path "$PRETRAINED" \
+  --file_state_dict "$OUT/roberta_large-v3.4-one_tower-cls-NA-ce/best_f1.msgpack" \
+  --output "$DATA_DIR/graph/feature_matrix.npy"
+$IA finetune-graph \
+  --feature_matrix "$DATA_DIR/graph/feature_matrix.npy" \
+  --edges "$DATA_DIR/graph/edges.npz" \
+  --train_pairs "$DATA_DIR/graph/item_train_train_pair.jsonl" \
+  --valid_pairs "$DATA_DIR/graph/item_train_valid_pair.jsonl" \
   --output_dir "$OUT/gcn"
