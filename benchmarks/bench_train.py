@@ -23,6 +23,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat_policy", default="dots", choices=["dots", "full"])
     args = p.parse_args()
 
     from item_alignment_tpu.config import ModelConfig
@@ -31,7 +32,7 @@ def main():
     cfg = ModelConfig.roberta_large(
         max_seq_len=50, max_seq_len_pv=205, dtype="bfloat16",
         hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1,
-        remat=args.remat)
+        remat=args.remat, remat_policy=args.remat_policy)
     model = RobertaOneTower(cfg)
     B, S, iters = args.batch_size, cfg.pair_seq_len, 4
 
@@ -72,12 +73,24 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = min(times)
     pairs_per_sec = B * iters / dt
+    # model FLOPs (fwd): per layer 2*S*(4H^2 qkvo + 2H*I mlp) matmul MACs*2
+    # + attention 2*2*S^2*H; train step = fwd + 2x bwd = 3x fwd (no remat
+    # overhead counted — MFU is utilization of *useful* FLOPs)
+    H, I, L, S2 = (cfg.hidden_size, cfg.intermediate_size,
+                   cfg.num_hidden_layers, cfg.pair_seq_len)
+    fwd_flops = L * (2 * S2 * (4 * H * H + 2 * H * I) + 4 * S2 * S2 * H)
+    step_flops = 3 * fwd_flops * B
+    v5e_peak = 197e12  # bf16 TFLOPs, TPU v5e
+    mfu = step_flops / (dt / iters) / v5e_peak
     print(json.dumps({
         "metric": "roberta_large_one_tower_train",
         "pairs_per_sec": round(pairs_per_sec, 1),
         "ms_per_step": round(dt / iters * 1000, 1),
+        "model_tflops_per_step": round(step_flops / 1e12, 2),
+        "mfu": round(mfu, 3),
         "batch_size": B,
         "remat": args.remat,
+        "remat_policy": args.remat_policy if args.remat else None,
         # ~65k train pairs x 10 epochs at this batch size
         "flagship_10epoch_est_hours": round(
             (650_000 / B) * (dt / iters) / 3600, 2),

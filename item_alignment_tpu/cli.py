@@ -79,6 +79,22 @@ def _common_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log_steps", type=int, default=100)
     p.add_argument("--seed", type=int, default=2345)
     p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--eval_every_steps", type=int, default=None,
+                   help="step-based mid-epoch eval cadence "
+                        "(reference finetune_bert.py eval every 1000 steps)")
+    p.add_argument("--early_stopping_patience", type=int, default=None,
+                   help="stop after N evals without best-F1 improvement")
+    p.add_argument("--checkpoint_dir", default=None,
+                   help="orbax dir for full train-state checkpoints "
+                        "(params+optimizer+step); saved per epoch")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest full train state from "
+                        "--checkpoint_dir before training")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder layers to cut HBM use")
+    p.add_argument("--remat_policy", default="dots", choices=["dots", "full"],
+                   help="remat policy: 'dots' keeps matmul outputs (cheap), "
+                        "'full' recomputes whole layers (max memory saving)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (replaces the reference's fp16 AMP)")
     p.add_argument("--mesh", default="-1,1,1",
@@ -95,6 +111,46 @@ def _common_train_flags(p: argparse.ArgumentParser) -> None:
                         "reference's best-model dirs)")
 
 
+def _engine_flags(p: argparse.ArgumentParser) -> None:
+    """Engine knobs for commands that don't take the full finetune flag
+    surface (finetune-bert / bert-pretrain / coca-pretrain): mesh sharding,
+    bf16, observability, step-cadence eval and checkpoint/resume."""
+    p.add_argument("--mesh", default="-1,1,1",
+                   help="data,fsdp,tensor axis sizes (-1 = all remaining)")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--log_dir", default=None)
+    p.add_argument("--log_steps", type=int, default=100)
+    p.add_argument("--seed", type=int, default=2345)
+    p.add_argument("--eval_every_steps", type=int, default=None)
+    p.add_argument("--early_stopping_patience", type=int, default=None)
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--warmup_proportion", type=float, default=0.1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+
+
+def _engine_train_config(args, train_bs: int, steps_per_epoch: int
+                         ) -> TrainConfig:
+    data, fsdp, tensor = (int(x) for x in args.mesh.split(","))
+    return TrainConfig(
+        seed=args.seed, train_batch_size=train_bs, eval_batch_size=train_bs,
+        num_epochs=args.epochs, log_steps=args.log_steps,
+        output_dir=args.output_dir, threshold=getattr(args, "threshold", 0.5),
+        eval_every_steps=args.eval_every_steps,
+        early_stopping_patience=args.early_stopping_patience,
+        checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        mesh=MeshConfig(data=data, fsdp=fsdp, tensor=tensor),
+        optimizer=OptimizerConfig(
+            learning_rate=args.learning_rate,
+            weight_decay=args.weight_decay,
+            warmup_proportion=args.warmup_proportion,
+            total_steps=max(steps_per_epoch * args.epochs
+                            // max(args.gradient_accumulation_steps, 1), 1),
+            grad_accumulation_steps=args.gradient_accumulation_steps),
+    )
+
+
 def _model_config(args, **extra) -> ModelConfig:
     kw = dict(
         model_name=args.model_name,
@@ -106,6 +162,7 @@ def _model_config(args, **extra) -> ModelConfig:
         cls_pool=args.cls_pool, auxiliary_task=args.auxiliary_task,
         max_seq_len=args.max_seq_len, max_seq_len_pv=args.max_seq_len_pv,
         max_pvs=args.max_pvs, dtype="bfloat16" if args.bf16 else "float32",
+        remat=args.remat, remat_policy=args.remat_policy,
     )
     kw.update(extra)
     if args.config_file:
@@ -123,6 +180,9 @@ def _train_config(args, steps_per_epoch: int) -> TrainConfig:
         eval_batch_size=args.eval_batch_size, num_epochs=args.epochs,
         log_steps=args.log_steps, output_dir=args.output_dir,
         threshold=args.threshold,
+        eval_every_steps=args.eval_every_steps,
+        early_stopping_patience=args.early_stopping_patience,
+        checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         mesh=MeshConfig(data=data, fsdp=fsdp, tensor=tensor),
         optimizer=OptimizerConfig(
             learning_rate=args.learning_rate,
@@ -1239,12 +1299,11 @@ def cmd_coca_pretrain(argv: List[str]) -> int:
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--learning_rate", type=float, default=1e-4)
+    _engine_flags(p)
     args = p.parse_args(argv)
 
-    import jax
-    import jax.numpy as jnp
-    import optax
-
+    from item_alignment_tpu.data.datasets import ArrayDataset
+    from item_alignment_tpu.engine.train import Trainer
     from item_alignment_tpu.models.multimodal import CoCaForPretraining
 
     kw = dict(model_name="coca", vocab_size=args.vocab_size,
@@ -1254,42 +1313,35 @@ def cmd_coca_pretrain(argv: List[str]) -> int:
               intermediate_size=args.intermediate_size,
               multimodal_depth=args.multimodal_depth,
               coca_heads=args.coca_heads,
-              image_size=args.image_size)
+              image_size=args.image_size,
+              dtype="bfloat16" if args.bf16 else "float32")
     cfg = (ModelConfig.from_json(args.config_file, **kw)
            if args.config_file else ModelConfig(**kw))
     model = CoCaForPretraining(cfg)
 
     data = [np.load(s) for s in args.shards]
-    ids = np.concatenate([d["input_ids"] for d in data]).astype(np.int32)
-    mask = np.concatenate([d["attention_mask"] for d in data]).astype(np.int32)
-    images = np.concatenate([d["images"] for d in data]).astype(np.float32)
+    ds = ArrayDataset({
+        "input_ids": np.concatenate(
+            [d["input_ids"] for d in data]).astype(np.int32),
+        "attention_mask": np.concatenate(
+            [d["attention_mask"] for d in data]).astype(np.int32),
+        "images": np.concatenate(
+            [d["images"] for d in data]).astype(np.float32),
+    })
 
-    bs = min(args.batch_size, len(ids))
-    params = jax.jit(model.init)(
-        {"params": jax.random.PRNGKey(0)}, jnp.asarray(ids[:bs]),
-        jnp.asarray(mask[:bs]), images=jnp.asarray(images[:bs]))
-    tx = optax.adamw(args.learning_rate)
-    opt = tx.init(params)
+    import jax
 
-    @jax.jit
-    def step(p, o, i, m, im):
-        loss, g = jax.value_and_grad(
-            lambda p: model.apply(p, i, m, images=im))(p)
-        u, o = tx.update(g, o, p)
-        return optax.apply_updates(p, u), o, loss
+    bs = min(args.batch_size, len(ds))
+    tcfg = _engine_train_config(args, train_bs=bs,
+                                steps_per_epoch=max(len(ds) // bs, 1))
+    trainer = Trainer(model, tcfg, log_dir=args.log_dir)
+    result = trainer.fit(ds)
 
-    for epoch in range(args.epochs):
-        order = np.random.RandomState(epoch).permutation(len(ids))
-        for s0 in range(0, len(order) - bs + 1, bs):
-            sl = order[s0:s0 + bs]
-            params, opt, loss = step(params, opt, jnp.asarray(ids[sl]),
-                                     jnp.asarray(mask[sl]),
-                                     jnp.asarray(images[sl]))
-        logger.info(f"[coca] epoch {epoch} loss {float(loss):.4f}")
     from item_alignment_tpu.engine.checkpoint import save_params
     save_params(os.path.join(args.output_dir, "coca_pretrain.msgpack"),
-                params)
-    print(json.dumps({"final_loss": float(loss)}))
+                {"params": jax.tree.map(np.asarray, trainer.state.params)})
+    print(json.dumps(
+        {"final_loss": result["history"][-1]["loss"]}))
     return 0
 
 
@@ -1311,19 +1363,22 @@ def cmd_finetune_bert(argv: List[str]) -> int:
     p.add_argument("--epsilon", type=float, default=1e-2)
     p.add_argument("--alpha", type=float, default=1e-2)
     p.add_argument("--threshold", type=float, default=0.4)
+    p.add_argument("--pretrained_model_path", default=None,
+                   help="bert_pretrain.msgpack (or its dir): the "
+                        "domain-pretrained backbone to start from "
+                        "(reference finetune_bert.py loads the "
+                        "bert_pretrain output)")
+    _engine_flags(p)
     args = p.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
-    import optax
 
     from item_alignment_tpu.data.bert_data import (
         pairs_to_field_dataset,
         unflatten_fields,
     )
     from item_alignment_tpu.data.tokenization import load_text_tokenizer
-    from item_alignment_tpu.engine.adversarial import make_adversarial_step
-    from item_alignment_tpu.engine import metrics as M
+    from item_alignment_tpu.engine.train import Trainer
     from item_alignment_tpu.models.bert_legacy import (
         BertAlignModel,
         FIELD_MAX_LENS,
@@ -1336,81 +1391,76 @@ def cmd_finetune_bert(argv: List[str]) -> int:
         with open(path, encoding="utf-8") as r:
             return [json.loads(line) for line in r if line.strip()]
 
-    kw = dict(model_name="bert_legacy", vocab_size=len(tok))
+    kw = dict(model_name="bert_legacy", vocab_size=len(tok),
+              dtype="bfloat16" if args.bf16 else "float32")
     cfg = (ModelConfig.from_json(args.config_file, **kw)
            if args.config_file else ModelConfig(**kw))
     model = BertAlignModel(cfg)
     train_ds = pairs_to_field_dataset(load_rows(args.train_file), tok)
+    valid_ds = (pairs_to_field_dataset(load_rows(args.valid_file), tok)
+                if args.valid_file else None)
+
+    def transform(batch):
+        batch = dict(batch)
+        labels = batch.pop("labels", None)
+        kwargs = {"fields": unflatten_fields(batch)}
+        if labels is not None:
+            kwargs["labels"] = labels
+        return kwargs
 
     bs = min(args.batch_size, len(train_ds))
-    first = next(train_ds.batches(bs))[0]
-    labels0 = first.pop("labels")
-    fields0 = unflatten_fields(first)
-    params = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, fields0,
-                                 labels=jnp.asarray(labels0))
-    tx = optax.adamw(args.learning_rate)
-    opt = tx.init(params)
+    adversarial = ((args.adversarial, args.epsilon, args.alpha)
+                   if args.adversarial else None)
+    noise_spec = {
+        "pvs_noise": (FIELD_MAX_LENS["pvs"], cfg.hidden_size),
+        "title_noise": (FIELD_MAX_LENS["title"], cfg.hidden_size),
+    } if args.adversarial else None
+    tcfg = _engine_train_config(args, train_bs=bs,
+                                steps_per_epoch=max(len(train_ds) // bs, 1))
+    trainer = Trainer(model, tcfg, log_dir=args.log_dir,
+                      batch_transform=transform, adversarial=adversarial,
+                      noise_spec=noise_spec)
+    if args.pretrained_model_path:
+        from flax import serialization
 
-    if args.adversarial:
-        def loss_fn(p, deltas, batch):
-            return model.apply(p, batch["fields"], labels=batch["labels"],
-                               pvs_noise=deltas["pvs"],
-                               title_noise=deltas["title"],
-                               deterministic=False,
-                               rngs={"dropout": batch["dropout_rng"]}).loss
-        astep = make_adversarial_step(loss_fn, tx, args.adversarial,
-                                      args.epsilon, args.alpha)
-        deltas = {
-            "pvs": jnp.zeros((bs, FIELD_MAX_LENS["pvs"], cfg.hidden_size)),
-            "title": jnp.zeros((bs, FIELD_MAX_LENS["title"], cfg.hidden_size)),
-        }
-    else:
-        @jax.jit
-        def step(p, o, fields, labels, rng):
-            loss, g = jax.value_and_grad(
-                lambda p: model.apply(p, fields, labels=labels,
-                                      deterministic=False,
-                                      rngs={"dropout": rng}).loss)(p)
-            u, o = tx.update(g, o, p)
-            return optax.apply_updates(p, u), o, loss
+        from item_alignment_tpu.parallel.sharding import shard_params
+        from item_alignment_tpu.utils.hf_import import _overlay_rows
 
-    rng = jax.random.PRNGKey(1)
-    for epoch in range(args.epochs):
-        for batch, _ in train_ds.batches(bs, shuffle=True, seed=epoch,
-                                         drop_last=True):
-            labels = jnp.asarray(batch.pop("labels"))
-            fields = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
-                      for k, v in unflatten_fields(batch).items()}
-            rng, k = jax.random.split(rng)
-            if args.adversarial:
-                rng, k2 = jax.random.split(rng)
-                params, opt, deltas, loss = astep(
-                    params, opt, deltas, k,
-                    {"fields": fields, "labels": labels, "dropout_rng": k2})
-            else:
-                params, opt, loss = step(params, opt, fields, labels, k)
-        logger.info(f"[bert] epoch {epoch} loss {float(loss):.4f}")
+        path = args.pretrained_model_path
+        if os.path.isdir(path):
+            path = os.path.join(path, "bert_pretrain.msgpack")
+        with open(path, "rb") as f:
+            pre = serialization.msgpack_restore(f.read())
+        pre = pre.get("params", pre)
+        trainer.setup(next(train_ds.batches(bs))[0])
+        params = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+        assert "bert" in pre and "bert" in params, \
+            f"{path} has no 'bert' backbone subtree"
+        # row-tolerant: bert-pretrain uses 5 token types (one per field),
+        # the align model fewer — overlapping rows are copied
+        _overlay_rows(params["bert"], pre["bert"])
+        trainer.state = trainer.state.replace(
+            params=shard_params(params, trainer.mesh))
+        logger.info(f"loaded pretrained bert backbone from {path}")
+    result = trainer.fit(train_ds, valid_ds)
 
     os.makedirs(args.output_dir, exist_ok=True)
     from item_alignment_tpu.engine.checkpoint import save_params
-    save_params(os.path.join(args.output_dir, "bert_align.msgpack"), params)
-    w, b = sim_eval_weight(params)
+    params = jax.tree.map(np.asarray, trainer.state.params)
+    save_params(os.path.join(args.output_dir, "bert_align.msgpack"),
+                {"params": params})
+    w, b = sim_eval_weight({"params": params})
     np.savez(os.path.join(args.output_dir, "sim_eval_weight.npz"),
              weight=np.asarray(w), bias=np.asarray(b))
+    if trainer.best_params is not None:
+        save_params(os.path.join(args.output_dir, "best_f1.msgpack"),
+                    {"params": jax.tree.map(np.asarray, trainer.best_params)})
 
-    out = {"final_loss": float(loss)}
-    if args.valid_file:
-        valid_ds = pairs_to_field_dataset(load_rows(args.valid_file), tok)
-        eval_fn = jax.jit(lambda p, f: model.apply(p, f).probs)
-        probs, labels_all = [], []
-        for batch, meta in valid_ds.batches(bs):
-            labels_all.append(np.asarray(batch.pop("labels"))[: meta["n_valid"]])
-            fields = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
-                      for k, v in unflatten_fields(batch).items()}
-            probs.append(np.asarray(eval_fn(params, fields))[: meta["n_valid"]])
-        f1, pr, rc, thr = M.find_best_f1_and_threshold(
-            np.concatenate(labels_all), np.concatenate(probs))
-        out.update(best_f1=f1, best_threshold=thr)
+    out = {"final_loss": result["history"][-1]["loss"] if result["history"]
+           else None}
+    if valid_ds is not None:
+        out.update(best_f1=result["best"]["best_f1"],
+                   best_threshold=result["best"].get("threshold"))
     print(json.dumps(out))
     return 0
 
@@ -1430,18 +1480,17 @@ def cmd_bert_pretrain(argv: List[str]) -> int:
     p.add_argument("--learning_rate", type=float, default=5e-5)
     p.add_argument("--n_negatives", type=int, default=1)
     p.add_argument("--max_items", type=int, default=None)
-    p.add_argument("--seed", type=int, default=0)
+    _engine_flags(p)
     args = p.parse_args(argv)
 
     import random as pyrandom
 
     import jax
-    import jax.numpy as jnp
-    import optax
 
     from item_alignment_tpu.data.bert_data import build_pretrain_examples
     from item_alignment_tpu.data.datasets import ArrayDataset
     from item_alignment_tpu.data.tokenization import load_text_tokenizer
+    from item_alignment_tpu.engine.train import Trainer
     from item_alignment_tpu.models.bert_legacy import BertForPretraining
 
     tok = load_text_tokenizer(args.vocab_path)
@@ -1468,42 +1517,23 @@ def cmd_bert_pretrain(argv: List[str]) -> int:
     })
 
     kw = dict(model_name="bert_legacy", vocab_size=len(tok),
-              type_vocab_size=5)
+              type_vocab_size=5,
+              dtype="bfloat16" if args.bf16 else "float32")
     cfg = (ModelConfig.from_json(args.config_file, **kw)
            if args.config_file else ModelConfig(**kw))
     model = BertForPretraining(cfg)
     bs = min(args.batch_size, len(ds))
-    first = next(ds.batches(bs))[0]
-    params = jax.jit(model.init)(
-        {"params": jax.random.PRNGKey(0)},
-        jnp.asarray(first["input_ids"]), jnp.asarray(first["attention_mask"]),
-        jnp.asarray(first["token_type_ids"]),
-        mlm_labels=jnp.asarray(first["mlm_labels"]),
-        next_label=jnp.asarray(first["next_label"]))
-    tx = optax.adamw(args.learning_rate)
-    opt = tx.init(params)
+    tcfg = _engine_train_config(args, train_bs=bs,
+                                steps_per_epoch=max(len(ds) // bs, 1))
+    trainer = Trainer(model, tcfg, log_dir=args.log_dir)
+    result = trainer.fit(ds)
 
-    @jax.jit
-    def step(p, o, b):
-        def loss_fn(p):
-            return model.apply(p, b["input_ids"], b["attention_mask"],
-                               b["token_type_ids"],
-                               mlm_labels=b["mlm_labels"],
-                               next_label=b["next_label"])["loss"]
-        loss, g = jax.value_and_grad(loss_fn)(p)
-        u, o = tx.update(g, o, p)
-        return optax.apply_updates(p, u), o, loss
-
-    for epoch in range(args.epochs):
-        for batch, _ in ds.batches(bs, shuffle=True, seed=epoch,
-                                   drop_last=True):
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
-            params, opt, loss = step(params, opt, jb)
-        logger.info(f"[bert-pretrain] epoch {epoch} loss {float(loss):.4f}")
     from item_alignment_tpu.engine.checkpoint import save_params
     os.makedirs(args.output_dir, exist_ok=True)
-    save_params(os.path.join(args.output_dir, "bert_pretrain.msgpack"), params)
-    print(json.dumps({"final_loss": float(loss), "examples": len(examples)}))
+    save_params(os.path.join(args.output_dir, "bert_pretrain.msgpack"),
+                {"params": jax.tree.map(np.asarray, trainer.state.params)})
+    print(json.dumps({"final_loss": result["history"][-1]["loss"],
+                      "examples": len(examples)}))
     return 0
 
 

@@ -105,6 +105,13 @@ class ModelConfig:
     remat: bool = False                       # rematerialize encoder layers
                                               # (jax.checkpoint) to cut HBM
                                               # use during training
+    remat_policy: str = "dots"                # full | dots; "dots" saves all
+                                              # matmul outputs and recomputes
+                                              # only cheap elementwise/softmax
+                                              # work (flash-attention-like
+                                              # memory at ~no FLOP cost),
+                                              # "full" recomputes the whole
+                                              # layer (max memory savings)
 
     # ------------------------------------------------------------------
     @property
@@ -246,6 +253,10 @@ class TrainConfig:
     eval_thresholds: Tuple[float, ...] = tuple(round(0.1 * i, 1) for i in range(1, 10))
     checkpoint_every_epochs: int = 1
     keep_checkpoints: int = 20
+    checkpoint_dir: Optional[str] = None     # orbax full-train-state dir;
+                                             # enables save (+ resume below)
+    resume: bool = False                     # restore latest full state
+                                             # (params+opt+step) before fit
     eval_every_steps: Optional[int] = None   # step-based eval (finetune_bert)
     early_stopping_patience: Optional[int] = None  # evals without F1 gain
     mesh: MeshConfig = field(default_factory=MeshConfig)

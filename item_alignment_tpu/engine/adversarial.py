@@ -54,6 +54,35 @@ def mix_update(rng: jax.Array, delta: jax.Array, grad: jax.Array,
     return new_delta, active
 
 
+def update_deltas(mode: str, rng: jax.Array, deltas: Any, dgrads: Any,
+                  epsilon: float, alpha: float) -> Any:
+    """One FREE/PGD/MIX update of a delta pytree from its loss grads.
+
+    MIX semantics (finetune_bert.py:486-512): a SINGLE uniform draw per
+    step picks FREE (<0.15), PGD (<0.45) or "noise off" — the off branch
+    zeroes the noise applied on the next step.
+    """
+    n_leaves = len(jax.tree_util.tree_leaves(deltas))
+    keys = jax.random.split(rng, n_leaves + 1)
+    key_tree = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(deltas), list(keys[:n_leaves]))
+    if mode == "FREE":
+        return jax.tree_util.tree_map(
+            lambda d, g: free_update(d, g, epsilon), deltas, dgrads)
+    if mode == "PGD":
+        return jax.tree_util.tree_map(
+            lambda k, d, g: pgd_update(k, d, g, epsilon, alpha),
+            key_tree, deltas, dgrads)
+    if mode == "MIX":
+        u = jax.random.uniform(keys[-1])  # one draw for all deltas
+        active = (u < 0.45).astype(jnp.float32)
+        return jax.tree_util.tree_map(
+            lambda k, d, g: mix_update(k, d, g, epsilon, alpha, u=u)[0]
+            * active,
+            key_tree, deltas, dgrads)
+    raise ValueError(f"unknown adversarial mode {mode}")
+
+
 def make_adversarial_step(loss_fn: Callable, tx, mode: str = "FREE",
                           epsilon: float = 1e-2, alpha: float = 1e-2):
     """Build a jitted step: (params, opt_state, deltas, rng, batch) ->
@@ -77,28 +106,7 @@ def make_adversarial_step(loss_fn: Callable, tx, mode: str = "FREE",
         pgrads, dgrads = grads
         updates, opt_state = tx.update(pgrads, opt_state, params)
         params = optax.apply_updates(params, updates)
-
-        n_leaves = len(jax.tree_util.tree_leaves(deltas))
-        keys = jax.random.split(rng, n_leaves + 1)
-        key_tree = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(deltas), list(keys[:n_leaves]))
-        if mode == "FREE":
-            deltas = jax.tree_util.tree_map(
-                lambda d, g: free_update(d, g, epsilon), deltas, dgrads)
-        elif mode == "PGD":
-            deltas = jax.tree_util.tree_map(
-                lambda k, d, g: pgd_update(k, d, g, epsilon, alpha),
-                key_tree, deltas, dgrads)
-        elif mode == "MIX":
-            u = jax.random.uniform(keys[-1])  # one draw for all deltas
-            active = (u < 0.45).astype(jnp.float32)
-            # zero the APPLIED noise next step when inactive
-            deltas = jax.tree_util.tree_map(
-                lambda k, d, g: mix_update(k, d, g, epsilon, alpha, u=u)[0]
-                * active,
-                key_tree, deltas, dgrads)
-        else:
-            raise ValueError(f"unknown adversarial mode {mode}")
+        deltas = update_deltas(mode, rng, deltas, dgrads, epsilon, alpha)
         return params, opt_state, deltas, loss
 
     return jax.jit(step)

@@ -36,22 +36,48 @@ from item_alignment_tpu.utils import logger
 
 class TrainState(train_state.TrainState):
     dropout_rng: jax.Array = None
+    deltas: Any = None  # adversarial embedding-noise state (FREE/PGD/MIX)
+
+
+def _loss_of(out) -> jax.Array:
+    """Normalize module outputs: PairClassifierOutput / dict / bare scalar."""
+    if hasattr(out, "loss"):
+        return out.loss
+    if isinstance(out, dict):
+        return out["loss"]
+    return out
 
 
 class Trainer:
-    """Drives a pair-classifier Linen module over an ArrayDataset.
+    """Drives a Linen module over an ArrayDataset.
 
-    The module's ``__call__`` must accept the batch's array keys as kwargs
-    plus ``labels=`` and ``deterministic=`` and return a
-    ``PairClassifierOutput``.
+    By default the module's ``__call__`` accepts the batch's array keys as
+    kwargs plus ``labels=`` and ``deterministic=`` and returns a
+    ``PairClassifierOutput``; ``batch_transform`` (a pure function applied
+    inside jit) adapts batches for modules with a different signature, and
+    modules may also return a {"loss": ...} dict or a bare scalar loss
+    (pretraining objectives).
+
+    ``adversarial=(mode, epsilon, alpha)`` + ``noise_spec={kwarg_name:
+    per-example shape}`` enables FREE/PGD/MIX embedding-noise training as a
+    Trainer feature (the deltas live in the TrainState), replacing the
+    reference's hand-rolled loop (``finetune_bert.py:425-512``).
     """
 
     def __init__(self, model: nn.Module, config: TrainConfig,
                  mesh=None, params: Optional[Any] = None,
                  example_batch: Optional[Dict[str, np.ndarray]] = None,
-                 log_dir: Optional[str] = None):
+                 log_dir: Optional[str] = None,
+                 batch_transform: Optional[Callable] = None,
+                 adversarial: Optional[Tuple[str, float, float]] = None,
+                 noise_spec: Optional[Dict[str, Tuple[int, ...]]] = None):
         self.model = model
         self.config = config
+        self.batch_transform = batch_transform or (lambda b: b)
+        self.adversarial = adversarial
+        self.noise_spec = noise_spec or {}
+        assert not (adversarial and not self.noise_spec), \
+            "adversarial training needs a noise_spec"
         self.mesh = mesh if mesh is not None else create_mesh(config.mesh)
         self.rng = jax.random.PRNGKey(config.seed)
         self._example_batch = example_batch
@@ -75,7 +101,8 @@ class Trainer:
     # ------------------------------------------------------------- setup
     def _init_params(self, batch: Dict[str, np.ndarray]) -> Any:
         init_rng, self.rng = jax.random.split(self.rng)
-        kwargs = {k: jnp.asarray(v) for k, v in batch.items()}
+        kwargs = self.batch_transform(
+            {k: jnp.asarray(v) for k, v in batch.items()})
         variables = self.model.init({"params": init_rng, "dropout": init_rng},
                                     deterministic=True, **kwargs)
         return variables["params"]
@@ -87,8 +114,13 @@ class Trainer:
         params = shard_params(params, self.mesh)
         tx = make_optimizer(self.config.optimizer, params)
         dropout_rng, self.rng = jax.random.split(self.rng)
+        deltas = None
+        if self.adversarial:
+            deltas = {name: jnp.zeros((self.config.train_batch_size,) + shape)
+                      for name, shape in self.noise_spec.items()}
         state = TrainState.create(apply_fn=self.model.apply, params=params,
-                                  tx=tx, dropout_rng=dropout_rng)
+                                  tx=tx, dropout_rng=dropout_rng,
+                                  deltas=deltas)
         # place the full state (opt moments follow the param shardings)
         data_size = int(self.mesh.shape.get("data", 1))
         for bs_name in ("train_batch_size", "eval_batch_size"):
@@ -105,21 +137,45 @@ class Trainer:
 
     def _compile(self):
         model = self.model
+        transform = self.batch_transform
+        adversarial = self.adversarial
 
         def train_step(state: TrainState, batch: Dict[str, jax.Array]):
             dropout_rng = jax.random.fold_in(state.dropout_rng, state.step)
+            kwargs = transform(batch)
+
+            if adversarial:
+                from item_alignment_tpu.engine.adversarial import update_deltas
+
+                mode, epsilon, alpha = adversarial
+
+                def loss_fn(params, deltas):
+                    out = model.apply({"params": params}, deterministic=False,
+                                      rngs={"dropout": dropout_rng},
+                                      **kwargs, **deltas)
+                    return _loss_of(out)
+
+                loss, (grads, dgrads) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1))(state.params, state.deltas)
+                delta_rng = jax.random.fold_in(dropout_rng, 1)
+                new_deltas = update_deltas(mode, delta_rng, state.deltas,
+                                           dgrads, epsilon, alpha)
+                state = state.apply_gradients(grads=grads)
+                state = state.replace(deltas=new_deltas)
+                return state, loss
 
             def loss_fn(params):
                 out = model.apply({"params": params}, deterministic=False,
-                                  rngs={"dropout": dropout_rng}, **batch)
-                return out.loss
+                                  rngs={"dropout": dropout_rng}, **kwargs)
+                return _loss_of(out)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             state = state.apply_gradients(grads=grads)
             return state, loss
 
         def eval_step(params, batch):
-            out = model.apply({"params": params}, deterministic=True, **batch)
+            out = model.apply({"params": params}, deterministic=True,
+                              **transform(batch))
             return out.probs, out.src_embeds, out.tgt_embeds
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
@@ -215,17 +271,90 @@ class Trainer:
                     w.write(json.dumps(row) + "\n")
         return path
 
+    # -------------------------------------------------- checkpoint/resume
+    def _ckpt_tree(self, epoch: int, best_f1: float, best_epoch: int,
+                   best_threshold: float, stale_evals: int) -> Dict[str, Any]:
+        return {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": np.asarray(int(self.state.step), np.int64),
+            "dropout_rng": np.asarray(self.state.dropout_rng),
+            "meta": {
+                "epoch": np.asarray(epoch, np.int64),
+                "best_f1": np.asarray(best_f1, np.float64),
+                "best_epoch": np.asarray(best_epoch, np.int64),
+                "best_threshold": np.asarray(best_threshold, np.float64),
+                "stale_evals": np.asarray(stale_evals, np.int64),
+            },
+        }
+
+    def save_checkpoint(self, manager, epoch: int, best_f1: float = 0.0,
+                        best_epoch: int = -1, best_threshold: float = 0.5,
+                        stale_evals: int = 0) -> None:
+        """Full train-state checkpoint (params + optimizer moments + step +
+        dropout rng + loop bookkeeping), replacing the reference's
+        model+optimizer+scheduler+global_steps save
+        (``finetune_bert.py:396-415``)."""
+        manager.save(int(self.state.step),
+                     self._ckpt_tree(epoch, best_f1, best_epoch,
+                                     best_threshold, stale_evals))
+
+    def restore_checkpoint(self, manager, step: Optional[int] = None
+                           ) -> Dict[str, Any]:
+        """Restore the full train state in place (after ``setup``); returns
+        the loop bookkeeping meta (``finetune_bert.py:198-207``)."""
+        assert self.state is not None, "call setup() before restore"
+        like = self._ckpt_tree(0, 0.0, -1, 0.5, 0)
+        tree = manager.restore(step=step, like=like)
+        self.state = self.state.replace(
+            params=tree["params"], opt_state=tree["opt_state"],
+            step=jnp.asarray(int(tree["step"]), jnp.int32),
+            dropout_rng=jnp.asarray(tree["dropout_rng"]))
+        self.state = jax.device_put(self.state, self._state_shardings)
+        meta = {k: v.item() if hasattr(v, "item") else v
+                for k, v in tree["meta"].items()}
+        logger.info(f"[resume] restored step {int(tree['step'])} "
+                    f"(epoch {meta['epoch']}, best_f1 {meta['best_f1']:.4f})")
+        return meta
+
     def fit(self, train_ds: ArrayDataset, valid_ds: Optional[ArrayDataset] = None
             ) -> Dict[str, Any]:
         """Epoch loop with per-epoch (or per-N-steps) threshold-sweep eval,
-        best-F1 tracking and optional early stopping by eval patience
-        (finetune_bert.py:584-592)."""
+        best-F1 tracking, optional early stopping by eval patience
+        (finetune_bert.py:584-592) and full-state checkpoint/resume when
+        ``config.checkpoint_dir`` is set."""
         cfg = self.config
         history = []
         best = {"best_f1": 0.0, "epoch": -1, "params": None}
         stale_evals = 0
-        for epoch in range(cfg.num_epochs):
+        start_epoch = 0
+        manager = None
+        if cfg.checkpoint_dir:
+            if self.state is None:
+                first = next(train_ds.batches(cfg.train_batch_size))[0]
+                self.setup(first)
+            from item_alignment_tpu.engine.checkpoint import (
+                CheckpointManager,
+                load_params,
+                save_params,
+            )
+            manager = CheckpointManager(cfg.checkpoint_dir,
+                                        keep=cfg.keep_checkpoints)
+            best_path = os.path.join(cfg.checkpoint_dir, "best_f1.msgpack")
+            if cfg.resume and manager.latest_step() is not None:
+                meta = self.restore_checkpoint(manager)
+                start_epoch = int(meta["epoch"]) + 1
+                stale_evals = int(meta["stale_evals"])
+                best = {"best_f1": float(meta["best_f1"]),
+                        "epoch": int(meta["best_epoch"]),
+                        "threshold": float(meta["best_threshold"]),
+                        "params": None}
+                if best["epoch"] >= 0 and os.path.exists(best_path):
+                    like = jax.tree.map(np.asarray, self.state.params)
+                    best["params"] = load_params(best_path, like)
+        for epoch in range(start_epoch, cfg.num_epochs):
             stats = self.train_epoch(train_ds, epoch, valid_ds)
+            stop = False
             if valid_ds is not None:
                 ev = self.evaluate(valid_ds)
                 stats.update(best_f1=ev.get("best_f1"),
@@ -236,6 +365,8 @@ class Trainer:
                             "params": jax.tree.map(np.asarray,
                                                    self.state.params)}
                     stale_evals = 0
+                    if manager is not None:
+                        save_params(best_path, best["params"])
                 else:
                     stale_evals += 1
                 logger.info(f"epoch {epoch}: loss {stats['loss']:.4f} "
@@ -252,9 +383,17 @@ class Trainer:
                 if (cfg.early_stopping_patience is not None
                         and stale_evals >= cfg.early_stopping_patience):
                     logger.info(f"early stopping after {stale_evals} stale evals")
-                    history.append(stats)
-                    break
+                    stop = True
             history.append(stats)
+            if (manager is not None
+                    and (epoch + 1) % cfg.checkpoint_every_epochs == 0):
+                self.save_checkpoint(
+                    manager, epoch, best_f1=best["best_f1"],
+                    best_epoch=best["epoch"],
+                    best_threshold=best.get("threshold") or 0.5,
+                    stale_evals=stale_evals)
+            if stop:
+                break
         best_params = best.pop("params", None)
         if best_params is not None:
             self.best_params = best_params

@@ -33,16 +33,25 @@ ACT = {
 }
 
 
+def _compute_dtype(cfg: ModelConfig):
+    """Compute dtype for matmuls/LN (params stay fp32).  Must be passed to
+    every flax module explicitly: with the default ``dtype=None`` flax
+    PROMOTES bf16 inputs back to fp32 against the fp32 params, silently
+    undoing the bf16 policy (and halving MXU throughput)."""
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
 class SelfAttention(nn.Module):
     config: ModelConfig
 
     @nn.compact
     def __call__(self, hidden, bias, deterministic: bool = True):
         cfg = self.config
+        dt = _compute_dtype(cfg)
         B, S, H = hidden.shape
         N, D = cfg.num_attention_heads, cfg.head_dim
         dense = lambda name: nn.Dense(  # noqa: E731
-            H, name=name,
+            H, name=name, dtype=dt,
             kernel_init=nn.initializers.normal(cfg.initializer_range))
         q = dense("query")(hidden).reshape(B, S, N, D)
         k = dense("key")(hidden).reshape(B, S, N, D)
@@ -56,7 +65,7 @@ class SelfAttention(nn.Module):
         attend = flash_attention if cfg.use_flash_attention else dot_product_attention
         ctx = attend(q, k, v, bias, dropout_rate=0.0 if deterministic else rate,
                      dropout_rng=dropout_rng, dtype=hidden.dtype)
-        out = nn.Dense(H, name="output",
+        out = nn.Dense(H, name="output", dtype=dt,
                        kernel_init=nn.initializers.normal(cfg.initializer_range))(
             ctx.reshape(B, S, H))
         return out
@@ -68,21 +77,24 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, hidden, bias, deterministic: bool = True):
         cfg = self.config
+        dt = _compute_dtype(cfg)
         drop = nn.Dropout(cfg.hidden_dropout_prob)
         attn_out = SelfAttention(cfg, name="attention")(hidden, bias, deterministic)
         attn_out = drop(attn_out, deterministic=deterministic)
-        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="attention_layer_norm")(
-            hidden + attn_out)
+        # LN stats are always computed in fp32 internally (flax); dtype=dt
+        # keeps the residual stream in the compute dtype
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
+                              name="attention_layer_norm")(hidden + attn_out)
 
         act = ACT[cfg.hidden_act]
-        mlp = nn.Dense(cfg.intermediate_size, name="intermediate",
+        mlp = nn.Dense(cfg.intermediate_size, name="intermediate", dtype=dt,
                        kernel_init=nn.initializers.normal(cfg.initializer_range))(hidden)
         mlp = act(mlp)
-        mlp = nn.Dense(cfg.hidden_size, name="mlp_output",
+        mlp = nn.Dense(cfg.hidden_size, name="mlp_output", dtype=dt,
                        kernel_init=nn.initializers.normal(cfg.initializer_range))(mlp)
         mlp = drop(mlp, deterministic=deterministic)
-        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="output_layer_norm")(
-            hidden + mlp)
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
+                              name="output_layer_norm")(hidden + mlp)
         return hidden
 
 
@@ -106,8 +118,15 @@ class TransformerEncoder(nn.Module):
         layer_cls = TransformerLayer
         if cfg.remat:
             # trade recompute for HBM: activations rematerialized in the
-            # backward pass (replaces torch gradient checkpointing)
-            layer_cls = nn.remat(TransformerLayer,
+            # backward pass (replaces torch gradient checkpointing).
+            # "dots" keeps every matmul output resident and re-runs only the
+            # cheap elementwise chain (bias/softmax/gelu/LN) — on TPU this
+            # recovers most of full-remat's memory saving at a fraction of
+            # the recompute FLOPs; "full" recomputes the entire layer.
+            policy = None
+            if cfg.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            layer_cls = nn.remat(TransformerLayer, policy=policy,
                                  static_argnums=(3,))  # deterministic
         states = [hidden]
         for i in range(cfg.num_hidden_layers):

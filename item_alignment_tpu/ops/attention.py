@@ -56,12 +56,25 @@ def flash_attention(
     dropout_rng: Optional[jax.Array] = None,
     dtype=jnp.float32,
 ) -> jax.Array:
-    """Fused attention. Uses the Pallas kernel on TPU for the inference /
-    no-dropout path, otherwise falls back to the XLA path."""
-    if dropout_rate > 0.0 and dropout_rng is not None:
-        return dot_product_attention(q, k, v, bias, dropout_rate, dropout_rng, dtype)
+    """Fused attention. On TPU both the inference (no-dropout) path and the
+    training path run Pallas kernels; training regenerates the dropout mask
+    in-kernel on both the forward and backward passes (same PRNG seeding),
+    so dropout>0 no longer falls back to XLA attention."""
     if jax.default_backend() != "tpu":
-        return dot_product_attention(q, k, v, bias, dtype=dtype)
+        return dot_product_attention(q, k, v, bias, dropout_rate, dropout_rng,
+                                     dtype)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        try:
+            from item_alignment_tpu.ops.pallas_attention import (
+                fused_attention_dropout,
+            )
+            seed = jax.random.bits(dropout_rng, dtype=jnp.uint32).astype(jnp.int32)
+            return fused_attention_dropout(
+                float(dropout_rate), seed, q, k, v, bias).astype(dtype)
+        except Exception as e:  # pragma: no cover - TPU-only fallback
+            _warn_fallback_once(e)
+            return dot_product_attention(q, k, v, bias, dropout_rate,
+                                         dropout_rng, dtype)
     try:
         from item_alignment_tpu.ops.pallas_attention import fused_attention
         return fused_attention(q, k, v, bias).astype(dtype)

@@ -159,3 +159,26 @@ def _overlay(dst, src):
             assert np.shape(dst[k]) == np.shape(v), \
                 f"shape mismatch for {k}: {np.shape(dst[k])} vs {np.shape(v)}"
             dst[k] = np.asarray(v, dtype=np.float32)
+
+
+def _overlay_rows(dst, src):
+    """Like ``_overlay`` but tolerates embedding tables whose ROW count
+    differs: the overlapping leading rows are copied and the rest of the
+    destination rows are kept (the reference's token_type>2 /
+    position>512 row-copy quirk, finetune_text.py:243-255, applied in
+    both directions, e.g. a 5-type pretrain table into a 4-type model)."""
+    for k, v in src.items():
+        if isinstance(v, dict):
+            _overlay_rows(dst[k], v)
+            continue
+        if np.shape(dst[k]) == np.shape(v):
+            dst[k] = np.asarray(v, dtype=np.float32)
+            continue
+        d = np.asarray(dst[k])
+        assert (d.ndim == 2 and np.ndim(v) == 2
+                and d.shape[1] == np.shape(v)[1]), \
+            f"incompatible shapes for {k}: {d.shape} vs {np.shape(v)}"
+        rows = min(d.shape[0], np.shape(v)[0])
+        out = np.array(d, dtype=np.float32)
+        out[:rows] = np.asarray(v, dtype=np.float32)[:rows]
+        dst[k] = out

@@ -125,7 +125,7 @@ def test_finetune_and_pred_bert_cli(tmp_path, vocab_dir, tiny_cfg, capsys):
                "--vocab_path", vocab_dir, "--config_file", tiny_cfg,
                "--output_dir", str(tmp_path / "out"),
                "--batch_size", "2", "--epochs", "1",
-               "--adversarial", "FREE"])
+               "--adversarial", "FREE", "--mesh", "2,2,2"])
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(res["final_loss"]) and "best_f1" in res
@@ -140,6 +140,48 @@ def test_finetune_and_pred_bert_cli(tmp_path, vocab_dir, tiny_cfg, capsys):
     assert res["pairs"] == 4
 
 
+def test_bert_pretrain_then_finetune_cli(tmp_path, vocab_dir, tiny_cfg,
+                                         capsys):
+    """bert-pretrain -> finetune-bert --pretrained_model_path chain
+    (reference bert_pretrain.py output feeds finetune_bert.py), through the
+    Trainer with a 2,2,2 mesh on the 8-device CPU mesh."""
+    items = [{"item_id": f"i{j}", "title": "商品 标题", "cate_name": "a",
+              "cate_name_path": "a/b", "industry_name": "b",
+              "item_pvs": "#;#a#:#b"} for j in range(4)]
+    with open(tmp_path / "item_info.jsonl", "w") as w:
+        for it in items:
+            w.write(json.dumps(it) + "\n")
+    rc = main(["bert-pretrain", "--item_info", str(tmp_path / "item_info.jsonl"),
+               "--vocab_path", vocab_dir, "--config_file", tiny_cfg,
+               "--output_dir", str(tmp_path / "pre"),
+               "--max_seq_len", "32", "--batch_size", "2", "--epochs", "1",
+               "--mesh", "2,2,2"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(res["final_loss"]) and res["examples"] > 0
+    assert os.path.exists(tmp_path / "pre" / "bert_pretrain.msgpack")
+
+    rows = [{"item_label": i % 2,
+             "src_item_id": f"s{i}", "tgt_item_id": f"t{i}",
+             "src_pvs": "a:b", "tgt_pvs": "a:b",
+             "src_title": "商品", "tgt_title": "商品",
+             "src_cate": "a", "tgt_cate": "a",
+             "src_cate_path": "a/b", "tgt_cate_path": "a/b",
+             "src_industry_name": "b", "tgt_industry_name": "b"}
+            for i in range(4)]
+    with open(tmp_path / "train.jsonl", "w") as w:
+        for r in rows:
+            w.write(json.dumps(r) + "\n")
+    rc = main(["finetune-bert", "--train_file", str(tmp_path / "train.jsonl"),
+               "--vocab_path", vocab_dir, "--config_file", tiny_cfg,
+               "--output_dir", str(tmp_path / "out"),
+               "--batch_size", "2", "--epochs", "1", "--mesh", "2,2,2",
+               "--pretrained_model_path", str(tmp_path / "pre")])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(res["final_loss"])
+
+
 def test_coca_pretrain_cli(tmp_path, capsys):
     rs = np.random.RandomState(0)
     np.savez(tmp_path / "shard0.npz",
@@ -152,7 +194,8 @@ def test_coca_pretrain_cli(tmp_path, capsys):
                "--num_hidden_layers", "1", "--num_attention_heads", "4",
                "--intermediate_size", "64", "--multimodal_depth", "1",
                "--coca_heads", "4",
-               "--image_size", "16", "--batch_size", "3", "--epochs", "1"])
+               "--image_size", "16", "--batch_size", "2", "--epochs", "1",
+               "--mesh", "2,2,2"])
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(res["final_loss"])

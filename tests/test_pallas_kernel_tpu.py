@@ -53,3 +53,100 @@ def test_kernel_grads_match_xla():
     for a, b in zip(g1, g2):
         denom = max(float(jnp.abs(jnp.asarray(b)).max()), 1.0)
         assert float(jnp.abs(a - b).max()) / denom < 2e-2
+
+
+# --------------------------------------------------- in-kernel dropout path
+
+def test_dropout_kernel_zero_rate_limit():
+    """rate -> 0+ keeps (almost) everything: matches the no-dropout kernel."""
+    from item_alignment_tpu.ops.pallas_attention import (
+        fused_attention, fused_attention_dropout,
+    )
+    q, k, v, bias = _inputs()
+    seed = jnp.int32(7)
+    ref = np.asarray(fused_attention(q, k, v, bias)).astype(np.float32)
+    out = np.asarray(
+        fused_attention_dropout(1e-9, seed, q, k, v, bias)).astype(np.float32)
+    assert np.abs(ref - out).max() < 2e-2
+
+
+def test_dropout_kernel_statistics():
+    """Inverted dropout keeps E[out] ~ const and actually drops mass."""
+    from item_alignment_tpu.ops.pallas_attention import (
+        fused_attention, fused_attention_dropout,
+    )
+    q, k, v, bias = _inputs(B=4)
+    v = jnp.abs(v)  # positive values so dropped probs reduce row sums
+    base = np.asarray(fused_attention(q, k, v, bias)).astype(np.float64)
+    outs = []
+    for s in range(8):
+        outs.append(np.asarray(fused_attention_dropout(
+            0.3, jnp.int32(s), q, k, v, bias)).astype(np.float64))
+    mean = np.stack(outs).mean(0)
+    # unbiased in expectation (few samples -> loose tolerance)
+    assert abs(mean.mean() - base.mean()) / abs(base.mean()) < 0.05
+    # different seeds give different masks
+    assert np.abs(outs[0] - outs[1]).max() > 1e-3
+    # same seed reproduces exactly
+    again = np.asarray(fused_attention_dropout(
+        0.3, jnp.int32(0), q, k, v, bias)).astype(np.float64)
+    np.testing.assert_array_equal(outs[0], again)
+
+
+def test_dropout_kernel_fwd_bwd_mask_consistency():
+    """The backward kernel must regenerate the forward's exact keep mask.
+
+    Extract the dropped-probability matrix ``pd[q, k]`` from BOTH kernels
+    for one query row: from the forward with one-hot ``v`` columns (linear
+    in v), and from the backward as ``dv = grad of out[q0]``.  The zero
+    patterns (which entries were dropped) must agree exactly; the surviving
+    values agree up to MXU rounding.  (Finite differencing is useless here:
+    fp32 matmuls run as bf16 passes on the MXU and the subtraction
+    amplifies that rounding far past the dropout signal.)"""
+    from item_alignment_tpu.ops.pallas_attention import fused_attention_dropout
+
+    B, S, N, H = 1, 256, 4, 64
+    rng = jax.random.PRNGKey(1)
+    q, k = (jax.random.normal(r, (B, S, N, H), jnp.float32)
+            for r in jax.random.split(rng, 2))
+    rate, seed, q0 = 0.2, jnp.int32(3), 5
+
+    def f(v_):
+        return jnp.sum(fused_attention_dropout(rate, seed, q, k, v_, None)[0, q0])
+
+    # bwd: dv[j, n, h] = pd_norm_n[q0, j] for every h
+    dv = np.asarray(jax.grad(f)(jnp.zeros((B, S, N, H), jnp.float32)))
+    cols = range(0, 64)
+    for n in range(N):
+        bwd_row = dv[0, :, n, 0] * 1.0
+        fwd_row = np.zeros(S)
+        for j in cols:
+            v = jnp.zeros((B, S, N, H), jnp.float32).at[0, j, n, 0].set(1.0)
+            fwd_row[j] = float(fused_attention_dropout(
+                rate, seed, q, k, v, None)[0, q0, n, 0])
+        f_sub, b_sub = fwd_row[list(cols)], bwd_row[list(cols)]
+        # identical dropped-entry pattern (mask identity, the real check)
+        np.testing.assert_array_equal(f_sub == 0.0, b_sub == 0.0)
+        assert 0.05 < (f_sub == 0.0).mean() < 0.5  # some entries dropped
+        # surviving values match up to MXU (bf16-pass) rounding
+        np.testing.assert_allclose(f_sub, b_sub, rtol=2e-2, atol=1e-5)
+
+
+def test_dropout_kernel_grads_zero_rate_limit():
+    """rate -> 0+ keeps everything, so the backward kernel's dq/dk/dv math
+    (softmax backward chain) must match the XLA reference exactly; combined
+    with the mask-consistency test above this covers the rate>0 path."""
+    from item_alignment_tpu.ops.attention import dot_product_attention
+    from item_alignment_tpu.ops.pallas_attention import fused_attention_dropout
+
+    q, k, v, bias = _inputs(S=256, N=4, dtype=jnp.float32)
+    seed = jnp.int32(11)
+
+    g1 = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        fused_attention_dropout(1e-9, seed, q, k, v, bias) ** 2),
+        argnums=(0, 1, 2)))(q, k, v)
+    g2 = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        dot_product_attention(q, k, v, bias) ** 2), argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g1, g2):
+        denom = max(float(jnp.abs(jnp.asarray(b)).max()), 1.0)
+        assert float(jnp.abs(a - b).max()) / denom < 2e-2
