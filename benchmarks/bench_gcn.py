@@ -26,20 +26,28 @@ def main():
     p.add_argument("--edges", type=int, default=2_000_000)
     p.add_argument("--features", type=int, default=1024)
     p.add_argument("--train", action="store_true")
+    p.add_argument("--edge_chunk", type=int, default=None,
+                   help="scan the edge list in chunks (needed for --train "
+                        "at reference scale; try 262144)")
     args = p.parse_args()
 
     from item_alignment_tpu.config import ModelConfig
     from item_alignment_tpu.models.graph import GCNII, GCNTwoTower
-    from item_alignment_tpu.ops.sparse import normalize_adjacency
+    from item_alignment_tpu.ops.sparse import normalize_adjacency, pad_edges
 
     N, E, F = args.nodes, args.edges, args.features
     rs = np.random.RandomState(0)
     ei, ew = normalize_adjacency(
         np.stack([rs.randint(0, N, E), rs.randint(0, N, E)]), N)
+    if args.edge_chunk:
+        target = ((ei.shape[1] + args.edge_chunk - 1)
+                  // args.edge_chunk) * args.edge_chunk
+        ei, ew = pad_edges(ei, ew, target)
     feats = jnp.asarray(rs.randn(N, F).astype(np.float32))
     eij, ewj = jnp.asarray(ei), jnp.asarray(ew)
     cfg = ModelConfig(model_name="gcn", gcn_hidden=128, gcn_layers=4,
-                      gcn_feature_dim=F, hidden_dropout_prob=0.0)
+                      gcn_feature_dim=F, hidden_dropout_prob=0.0,
+                      gcn_edge_chunk=args.edge_chunk)
 
     if not args.train:
         enc = GCNII(cfg)
@@ -86,6 +94,7 @@ def main():
     dt = (time.perf_counter() - t0) / 5
     print(json.dumps({"metric": "gcnii_full_graph_train_step",
                       "nodes": N, "edges": E,
+                      "edge_chunk": args.edge_chunk,
                       "ms_per_step": round(dt * 1000, 1)}))
 
 

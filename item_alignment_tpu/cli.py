@@ -95,6 +95,7 @@ def _common_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--remat_policy", default="dots", choices=["dots", "full"],
                    help="remat policy: 'dots' keeps matmul outputs (cheap), "
                         "'full' recomputes whole layers (max memory saving)")
+    _distributed_flags(p)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (replaces the reference's fp16 AMP)")
     p.add_argument("--mesh", default="-1,1,1",
@@ -111,12 +112,24 @@ def _common_train_flags(p: argparse.ArgumentParser) -> None:
                         "reference's best-model dirs)")
 
 
+def _distributed_flags(p: argparse.ArgumentParser) -> None:
+    """Multi-host (DCN) flags; activate with --distributed.  On TPU pods
+    the coordinator/process arguments auto-detect and may be omitted."""
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize before training "
+                        "(multi-host; SURVEY.md §5.8)")
+    p.add_argument("--coordinator_address", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+
+
 def _engine_flags(p: argparse.ArgumentParser) -> None:
     """Engine knobs for commands that don't take the full finetune flag
     surface (finetune-bert / bert-pretrain / coca-pretrain): mesh sharding,
     bf16, observability, step-cadence eval and checkpoint/resume."""
     p.add_argument("--mesh", default="-1,1,1",
                    help="data,fsdp,tensor axis sizes (-1 = all remaining)")
+    _distributed_flags(p)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--log_dir", default=None)
     p.add_argument("--log_steps", type=int, default=100)
@@ -132,6 +145,10 @@ def _engine_flags(p: argparse.ArgumentParser) -> None:
 
 def _engine_train_config(args, train_bs: int, steps_per_epoch: int
                          ) -> TrainConfig:
+    from item_alignment_tpu.parallel.mesh import (
+        maybe_initialize_distributed_from_args,
+    )
+    maybe_initialize_distributed_from_args(args)
     data, fsdp, tensor = (int(x) for x in args.mesh.split(","))
     return TrainConfig(
         seed=args.seed, train_batch_size=train_bs, eval_batch_size=train_bs,
@@ -174,6 +191,10 @@ def _model_config(args, **extra) -> ModelConfig:
 
 
 def _train_config(args, steps_per_epoch: int) -> TrainConfig:
+    from item_alignment_tpu.parallel.mesh import (
+        maybe_initialize_distributed_from_args,
+    )
+    maybe_initialize_distributed_from_args(args)
     data, fsdp, tensor = (int(x) for x in args.mesh.split(","))
     return TrainConfig(
         seed=args.seed, train_batch_size=args.train_batch_size,
@@ -1199,6 +1220,10 @@ def cmd_finetune_graph(argv: List[str]) -> int:
     p.add_argument("--learning_rate", type=float, default=1e-2)
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--edge_chunk", type=int, default=None,
+                   help="scan the edge list in chunks of this size "
+                        "(bounds message-buffer memory at reference scale; "
+                        "try 262144 for the 2M-edge CCKS graph)")
     args = p.parse_args(argv)
 
     import jax
@@ -1225,9 +1250,16 @@ def cmd_finetune_graph(argv: List[str]) -> int:
                 np.asarray(lab, np.int32))
 
     tr_src, tr_tgt, tr_lab = load_pairs(args.train_pairs)
+    edge_chunk = args.edge_chunk
+    if edge_chunk and ei.shape[1] % edge_chunk:
+        from item_alignment_tpu.ops.sparse import pad_edges
+        tgt_e = ((ei.shape[1] + edge_chunk - 1) // edge_chunk) * edge_chunk
+        ei_np, ew_np = pad_edges(np.asarray(ei), np.asarray(ew), tgt_e)
+        ei, ew = jnp.asarray(ei_np), jnp.asarray(ew_np)
     cfg = ModelConfig(model_name="gcn", gcn_hidden=args.gcn_hidden,
                       gcn_layers=args.gcn_layers,
-                      gcn_feature_dim=feats.shape[1])
+                      gcn_feature_dim=feats.shape[1],
+                      gcn_edge_chunk=edge_chunk)
     model = GCNTwoTower(cfg)
     bs = min(args.batch_size, len(tr_src))
     params = jax.jit(model.init)(

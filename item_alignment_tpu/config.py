@@ -98,6 +98,10 @@ class ModelConfig:
     gcn_alpha: float = 0.1
     gcn_theta: float = 0.5
     gcn_feature_dim: int = 1024
+    gcn_edge_chunk: Optional[int] = None      # scan the edge list in chunks
+                                              # of this size (bounds the
+                                              # [E, F] message buffer for
+                                              # reference-scale training)
 
     # --- numerics ---
     dtype: str = "float32"                    # compute dtype: float32|bfloat16

@@ -28,9 +28,27 @@ from item_alignment_tpu.engine.optim import make_optimizer
 from item_alignment_tpu.parallel.mesh import create_mesh
 from item_alignment_tpu.parallel.sharding import (
     batch_sharding,
+    put_global_batch,
+    replicated,
     shard_params,
     tree_shardings,
 )
+
+
+def _host_copy(tree) -> Any:
+    """Pytree -> host numpy.  Multi-host: all-gather any leaf whose shards
+    span other hosts' devices first (a plain np.asarray on such an array
+    raises)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        def leaf(x):
+            if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+                return multihost_utils.process_allgather(x, tiled=True)
+            return np.asarray(x)
+
+        return jax.tree.map(leaf, tree)
+    return jax.tree.map(np.asarray, tree)
 from item_alignment_tpu.utils import logger
 
 
@@ -179,11 +197,18 @@ class Trainer:
             return out.probs, out.src_embeds, out.tgt_embeds
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
-        self._eval_step = jax.jit(eval_step)
+        # eval outputs are fetched on every host: replicate them inside the
+        # jit (all-gather over the data axis) so np.asarray stays legal on
+        # multi-host meshes
+        self._eval_step = jax.jit(eval_step,
+                                  out_shardings=replicated(self.mesh))
 
     # ------------------------------------------------------------- loops
     def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
-        return {k: jax.device_put(v, self._batch_sharding) for k, v in batch.items()}
+        # multi-host: each process transfers only its process_slice of the
+        # global batch (per-host data path, SURVEY.md §5.8)
+        return {k: put_global_batch(self._batch_sharding, v)
+                for k, v in batch.items()}
 
     def train_epoch(self, dataset: ArrayDataset, epoch: int = 0,
                     valid_ds: Optional[ArrayDataset] = None) -> Dict[str, float]:
@@ -350,8 +375,8 @@ class Trainer:
                         "threshold": float(meta["best_threshold"]),
                         "params": None}
                 if best["epoch"] >= 0 and os.path.exists(best_path):
-                    like = jax.tree.map(np.asarray, self.state.params)
-                    best["params"] = load_params(best_path, like)
+                    best["params"] = load_params(best_path,
+                                                 _host_copy(self.state.params))
         for epoch in range(start_epoch, cfg.num_epochs):
             stats = self.train_epoch(train_ds, epoch, valid_ds)
             stop = False
@@ -362,8 +387,7 @@ class Trainer:
                 if ev.get("best_f1", 0.0) > best["best_f1"]:
                     best = {"best_f1": ev["best_f1"], "epoch": epoch,
                             "threshold": ev.get("best_threshold"),
-                            "params": jax.tree.map(np.asarray,
-                                                   self.state.params)}
+                            "params": _host_copy(self.state.params)}
                     stale_evals = 0
                     if manager is not None:
                         save_params(best_path, best["params"])

@@ -34,11 +34,12 @@ class GCN2Layer(nn.Module):
     features: int
     alpha: float
     beta: float
+    edge_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, x0, edge_index, edge_weight):
         n = x.shape[0]
-        h = spmm(edge_index, edge_weight, x, n)
+        h = spmm(edge_index, edge_weight, x, n, edge_chunk=self.edge_chunk)
         support = (1.0 - self.alpha) * h + self.alpha * x0
         w = nn.Dense(self.features, use_bias=False, name="weight")(support)
         return (1.0 - self.beta) * support + self.beta * w
@@ -58,6 +59,7 @@ class GCNII(nn.Module):
             x = drop(x, deterministic=deterministic)
             beta = math.log(cfg.gcn_theta / (layer + 1) + 1.0)
             x = GCN2Layer(cfg.gcn_hidden, cfg.gcn_alpha, beta,
+                          edge_chunk=cfg.gcn_edge_chunk,
                           name=f"conv_{layer}")(x, x0, edge_index, edge_weight)
             x = jax.nn.relu(x)
         return drop(x, deterministic=deterministic)

@@ -8,9 +8,13 @@ row at S=512 overflows it by ~0.5 MiB), while cells stay fat enough to
 pipeline well (~14% faster than a (batch, head) grid at B=32).
 
 Matmul inputs stay in their native (bf16) dtype so the MXU runs at full
-rate; softmax statistics accumulate in fp32.  A custom VJP recomputes the
-backward through the plain XLA attention formulation (pallas_call has no
-autodiff rule).
+rate; softmax statistics accumulate in fp32.  Custom VJPs route the
+backward through a Pallas kernel as well (pallas_call has no autodiff
+rule): it recomputes scores/probs per head in VMEM and emits dq/dk/dv
+without materializing the [B, N, S, S] probability tensor in HBM.  The
+training path additionally applies inverted dropout in-kernel, with the
+forward and backward regenerating the identical keep mask from the same
+(seed, batch_row, head_group) PRNG seeding.
 """
 
 from __future__ import annotations
@@ -97,25 +101,18 @@ def fused_attention(q, k, v, bias=None):
     return _fused_attention_impl(q, k, v, bias)
 
 
-def _reference_attention(q, k, v, bias):
-    scale = 1.0 / (q.shape[-1] ** 0.5)
-    scores = jnp.einsum("bsnh,btnh->bnst", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    if bias is not None:
-        scores = scores + bias.astype(scores.dtype)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    return jnp.einsum("bnst,btnh->bsnh", probs, v)
-
-
 def _fused_attention_fwd(q, k, v, bias):
     return _fused_attention_impl(q, k, v, bias), (q, k, v, bias)
 
 
 def _fused_attention_bwd(res, g):
+    """Pallas backward (rate=0 path of the dropout bwd kernel): recomputes
+    scores/probs in VMEM per head and emits dq/dk/dv without ever
+    materializing the [B, N, S, S] probability tensor in HBM (the round-1
+    XLA-recompute backward did, and it dominated the train step)."""
     q, k, v, bias = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _reference_attention(q_, k_, v_, bias),
-                     q, k, v)
-    dq, dk, dv = vjp(g)
+    _, dq, dk, dv, _ = _fused_attention_dropout_bwd(
+        0.0, (jnp.int32(0), q, k, v, bias), g)
     return dq, dk, dv, None
 
 
@@ -146,10 +143,11 @@ def _attn_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
                          scale: float, heads_in_cell: int, head_dim: int,
                          rate: float):
     S = q_ref.shape[1]
-    # hardware seeding takes at most 2 values: fold (batch_row, head_group)
-    # into one
-    cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0], cell)
+    if rate > 0.0:
+        # hardware seeding takes at most 2 values: fold
+        # (batch_row, head_group) into one
+        cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0], cell)
     bias = bias_ref[0].astype(jnp.float32)  # [1, S]
     for h in range(heads_in_cell):
         sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -162,12 +160,12 @@ def _attn_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
-        # one draw per head, in head order — the backward kernel replays
-        # the identical sequence
-        keep = _keep_scale(pltpu.prng_random_bits((S, S)), rate)
-        pd = p * keep
+        if rate > 0.0:
+            # one draw per head, in head order — the backward kernel
+            # replays the identical sequence
+            p = p * _keep_scale(pltpu.prng_random_bits((S, S)), rate)
         o = jax.lax.dot_general(
-            pd.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         o_ref[0, :, sl] = (o / denom).astype(o_ref.dtype)
 
@@ -176,10 +174,11 @@ def _attn_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
                              dq_ref, dk_ref, dv_ref, *, scale: float,
                              heads_in_cell: int, head_dim: int, rate: float):
     S = q_ref.shape[1]
-    # hardware seeding takes at most 2 values: fold (batch_row, head_group)
-    # into one
-    cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0], cell)
+    if rate > 0.0:
+        # hardware seeding takes at most 2 values: fold
+        # (batch_row, head_group) into one
+        cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        pltpu.prng_seed(seed_ref[0], cell)
     bias = bias_ref[0].astype(jnp.float32)
     for h in range(heads_in_cell):
         sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -194,8 +193,11 @@ def _attn_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
         p = jnp.exp(scores - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
         probs = p / denom
-        keep = _keep_scale(pltpu.prng_random_bits((S, S)), rate)
-        pd = probs * keep  # dropped probabilities (what the fwd multiplied v by)
+        if rate > 0.0:
+            keep = _keep_scale(pltpu.prng_random_bits((S, S)), rate)
+            pd = probs * keep  # dropped probs (what the fwd multiplied v by)
+        else:
+            pd = probs
         # dv = pd^T @ g
         dv = jax.lax.dot_general(
             pd.astype(g.dtype), g, (((0,), (0,)), ((), ())),
@@ -204,7 +206,7 @@ def _attn_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
         # d(pd) = g @ v^T ; dprobs = d(pd) * keep
         dpd = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        dprobs = dpd * keep
+        dprobs = dpd * keep if rate > 0.0 else dpd
         # softmax backward: ds = probs * (dprobs - rowsum(dprobs * probs))
         row = jnp.sum(dprobs * probs, axis=-1, keepdims=True)
         ds = (probs * (dprobs - row)) * scale

@@ -99,5 +99,33 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(AXIS_DATA))
 
 
+def process_slice(n_rows: int, process_index: Optional[int] = None,
+                  process_count: Optional[int] = None) -> slice:
+    """This host's contiguous slice of a global batch (SURVEY.md §5.8
+    per-``process_index`` data loading).  Requires n_rows divisible by the
+    process count; mesh device order follows process order, so contiguous
+    row blocks land on the devices that own them."""
+    pc = jax.process_count() if process_count is None else process_count
+    pi = jax.process_index() if process_index is None else process_index
+    assert n_rows % pc == 0, (
+        f"global batch {n_rows} not divisible by {pc} processes")
+    per = n_rows // pc
+    return slice(pi * per, (pi + 1) * per)
+
+
+def put_global_batch(sharding: NamedSharding, value: np.ndarray):
+    """Place one batch array on the mesh.  Single-process: plain
+    device_put.  Multi-process: each host contributes only its
+    ``process_slice`` rows and the runtime assembles the global array
+    (``jax.make_array_from_process_local_data``) — no host ever
+    materializes another host's shard on device."""
+    if jax.process_count() == 1:
+        return jax.device_put(value, sharding)
+    value = np.asarray(value)
+    local = value[process_slice(value.shape[0])]
+    return jax.make_array_from_process_local_data(sharding, local,
+                                                  value.shape)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

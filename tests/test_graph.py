@@ -28,6 +28,48 @@ def test_spmm_matches_dense():
     np.testing.assert_allclose(ours, expected, rtol=1e-5, atol=1e-6)
 
 
+def test_spmm_chunked_matches_unchunked():
+    """The lax.scan edge-chunked SpMM (reference-scale training path) must
+    produce identical values AND gradients to the single-shot formulation."""
+    rs = np.random.RandomState(1)
+    n, e_raw = 12, 30
+    src = rs.randint(0, n, e_raw)
+    dst = rs.randint(0, n, e_raw)
+    ei, ew = normalize_adjacency(np.stack([src, dst]), n)
+    ei, ew = pad_edges(ei, ew, 48)  # divisible by chunk 16
+    x = jnp.asarray(rs.randn(n, 8).astype(np.float32))
+    eij, ewj = jnp.asarray(ei), jnp.asarray(ew)
+
+    full = spmm(eij, ewj, x, n)
+    chunked = spmm(eij, ewj, x, n, edge_chunk=16)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               rtol=1e-6, atol=1e-7)
+
+    g_full = jax.grad(lambda x: jnp.sum(spmm(eij, ewj, x, n) ** 2))(x)
+    g_chunk = jax.grad(lambda x: jnp.sum(
+        spmm(eij, ewj, x, n, edge_chunk=16) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_chunk),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_gcnii_edge_chunk_config_equivalence():
+    cfg = ModelConfig(model_name="gcn", gcn_hidden=8, gcn_layers=2,
+                      gcn_feature_dim=4, hidden_dropout_prob=0.0)
+    cfg_c = cfg.replace(gcn_edge_chunk=8)
+    rs = np.random.RandomState(2)
+    n = 10
+    ei, ew = normalize_adjacency(
+        np.stack([rs.randint(0, n, 14), rs.randint(0, n, 14)]), n)
+    ei, ew = pad_edges(ei, ew, 32)
+    feats = jnp.asarray(rs.randn(n, 4).astype(np.float32))
+    eij, ewj = jnp.asarray(ei), jnp.asarray(ew)
+    params = GCNII(cfg).init({"params": RNG}, feats, eij, ewj)
+    out = GCNII(cfg).apply(params, feats, eij, ewj)
+    out_c = GCNII(cfg_c).apply(params, feats, eij, ewj)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_c),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_normalize_adjacency_symmetric():
     edge_index = np.array([[0, 1], [1, 0]])
     ei, ew = normalize_adjacency(edge_index, 3)
