@@ -12,8 +12,13 @@ number of scored pairs by the TOTAL wall-clock (encode + score), at a
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
 vs_baseline = value / 10_000.
 
-The flagship one-tower cross-encoder benchmark (quality-critical model,
-~345 pairs/s, ~59% MFU) lives in benchmarks/ alongside the training bench.
+The same JSON line also carries the FLAGSHIP one-tower cross-encoder
+throughput (measured in the same run), because the two numbers answer
+different questions: the two-tower path is the high-throughput serving
+capability, the cross-encoder is the quality-bearing model (the two-tower
+design has an F1~0.80 ceiling, reference README.md:417) — neither should
+stand in for the other.  The training-step benchmark lives in
+benchmarks/bench_train.py.
 
 Methodology notes: all iterations run device-side (lax.scan over
 per-iteration inputs — loop-invariant bodies get hoisted by XLA and
@@ -30,6 +35,39 @@ import jax.numpy as jnp
 
 N_ITEMS = 4096
 PAIRS_PER_ITEM = 100  # mining ratio: candidate pairs per catalog item
+
+
+def flagship_cross_encoder_pairs_per_sec(cfg) -> float:
+    """One-tower RoBERTa-large 510-token cross-encoder inference (the
+    quality-bearing model), ~334 GFLOP/pair."""
+    from item_alignment_tpu.models.text import RobertaOneTower
+
+    model = RobertaOneTower(cfg)
+    B, S, n_iters = 32, cfg.pair_seq_len, 8
+    rng = jax.random.PRNGKey(0)
+    ids = jax.random.randint(rng, (n_iters, B, S), 1, cfg.vocab_size,
+                             jnp.int32)
+    masks = jnp.ones((n_iters, B, S), jnp.int32)
+    params = jax.jit(model.init)({"params": rng}, ids[0], masks[0])
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
+
+    @jax.jit
+    def forward_n(p, ids, masks):
+        def body(c, xm):
+            x, m = xm
+            return c + jnp.sum(model.apply(p, x, m).probs), None
+        total, _ = jax.lax.scan(body, jnp.float32(0), (ids, masks))
+        return total
+
+    np.asarray(forward_n(params, ids, masks))  # compile
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(forward_n(params, ids, masks))
+        times.append(time.perf_counter() - t0)
+    return B * n_iters / min(times)
 
 
 def main():
@@ -90,11 +128,16 @@ def main():
     dt = min(times)
 
     pairs_per_sec = n_pairs / dt
+    flagship = flagship_cross_encoder_pairs_per_sec(cfg)
     print(json.dumps({
         "metric": "two_tower_mining_throughput",
         "value": round(pairs_per_sec, 1),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pairs_per_sec / 10_000.0, 3),
+        # quality-bearing flagship measured in the same run (F1-critical
+        # path; the two-tower number must never stand in for it)
+        "flagship_cross_encoder_pairs_per_sec": round(flagship, 1),
+        "flagship_mfu_vs_590_ideal": round(flagship / 590.0, 3),
     }))
 
 

@@ -8,8 +8,10 @@
 //   - tsv_index:   one-pass mmap scan producing per-field (start, end)
 //                  offset tables (zero-copy string slicing in Python)
 //   - count_char:  fast delimiter counting
-//   - pack_rows:   batch gather of int32 token rows following a
-//                  shuffle-order index (the batcher's hot inner loop)
+//
+// (A pack_rows batch-gather kernel was tried for the batcher's inner
+// loop and removed: numpy fancy indexing beat it 2x once ctypes
+// marshalling was accounted for.)
 //
 // Built as a plain shared library; Python binds via ctypes
 // (item_alignment_tpu/data/native_loader.py).  No external dependencies.
@@ -105,19 +107,6 @@ int64_t count_char(const char* path, char needle) {
   }
   if (m.raw) munmap(m.raw, m.size);
   return count;
-}
-
-// Gather rows of an int32 [n_rows, row_len] matrix into out
-// [batch, row_len] following `order` (clamped to valid range).
-void pack_rows(const int32_t* data, int64_t n_rows, int64_t row_len,
-               const int64_t* order, int64_t batch, int32_t* out) {
-  for (int64_t i = 0; i < batch; ++i) {
-    int64_t src = order[i];
-    if (src < 0) src = 0;
-    if (src >= n_rows) src = n_rows - 1;
-    memcpy(out + i * row_len, data + src * row_len,
-           sizeof(int32_t) * static_cast<size_t>(row_len));
-  }
 }
 
 }  // extern "C"

@@ -61,16 +61,6 @@ def test_read_tsv_fast_large_parity_and_speed(lib, tmp_path):
     assert t_fast < 10.0
 
 
-def test_pack_rows_matches_numpy(lib):
-    rs = np.random.RandomState(1)
-    data = rs.randint(0, 100, (50, 16)).astype(np.int32)
-    order = rs.permutation(50)[:32].astype(np.int64)
-    out = NL.pack_rows(data, order)
-    np.testing.assert_array_equal(out, data[order])
-    # out-of-range indices clamp instead of crashing
-    out2 = NL.pack_rows(data, np.array([-5, 999], np.int64))
-    np.testing.assert_array_equal(out2[0], data[0])
-    np.testing.assert_array_equal(out2[1], data[-1])
 
 
 def test_prepare_reader_uses_native(tmp_path, lib):
