@@ -1114,6 +1114,7 @@ def cmd_finetune_multimodal(argv: List[str]) -> int:
         build_multimodal_pair_dataset,
         load_text_tokenizer,
         rows_to_image_one_tower_dataset,
+        rows_to_image_two_tower_dataset,
     )
     from item_alignment_tpu.engine.train import Trainer
     from item_alignment_tpu.models import build_model
@@ -1147,6 +1148,10 @@ def cmd_finetune_multimodal(argv: List[str]) -> int:
                 rows9, tok, load_image, paths, cfg.max_seq_len,
                 cfg.max_seq_len_pv, cfg.image_size,
                 bos=(cfg.ensemble == "sum"))
+        if args.interaction_type == "two_tower":
+            return rows_to_image_two_tower_dataset(
+                rows, tok, cfg.max_seq_len, cfg.max_seq_len_pv,
+                args.image_hidden_size)
         return rows_to_image_one_tower_dataset(
             rows, tok, cfg.max_seq_len, cfg.max_seq_len_pv,
             args.image_hidden_size)

@@ -384,6 +384,53 @@ def rows_to_image_one_tower_dataset(
     return ArrayDataset(arrays, meta)
 
 
+def rows_to_image_two_tower_dataset(
+    rows: Sequence, tok, max_seq_len: Optional[int],
+    max_seq_len_pv: Optional[int], image_hidden_size: int = 3072,
+) -> ArrayDataset:
+    """9-column TSV rows -> per-item roberta_image two-tower arrays
+    (RobertaImageTwoTowerDataset, data.py:682-753): each item is encoded
+    separately as ``[CLS] [IMG] [SEP] title [SEP] pvs`` (ensemble begin:
+    the [IMG] token sits at position 1, where the embedding splice puts
+    the projected image vector)."""
+    feats: Dict[str, list] = {f"{k}_{i}": [] for k in
+                              ("input_ids", "attention_mask",
+                               "token_type_ids")
+                              for i in (1, 2)}
+    feats["labels"] = []
+    img_feats = {"image_embeds_1": [], "image_embeds_2": []}
+    meta = {"src_item_id": [], "tgt_item_id": []}
+    max_length = (max_seq_len or 0) + (max_seq_len_pv or 0)
+
+    def parse_emb(s):
+        vals = np.array([float(x) for x in s.split(",") if x],
+                        np.float32) if s else np.zeros(0, np.float32)
+        out = np.zeros(image_hidden_size, np.float32)
+        out[: len(vals)] = vals[:image_hidden_size]
+        return out
+
+    for row in rows:
+        (label, src_item_id, src_title, src_pvs, src_emb,
+         tgt_item_id, tgt_title, tgt_pvs, tgt_emb) = row
+        for i, (title, pvs, emb) in enumerate(
+                ((src_title, src_pvs, src_emb),
+                 (tgt_title, tgt_pvs, tgt_emb)), start=1):
+            text = " ".join((IMG_TOKEN, tok.sep_token,
+                             build_item_text(title, pvs, tok.sep_token)))
+            enc = tok(text=text, max_length=max_length,
+                      padding="max_length", truncation="longest_first")
+            feats[f"input_ids_{i}"].append(enc["input_ids"])
+            feats[f"attention_mask_{i}"].append(enc["attention_mask"])
+            feats[f"token_type_ids_{i}"].append(enc["token_type_ids"])
+            img_feats[f"image_embeds_{i}"].append(parse_emb(emb))
+        feats["labels"].append(int(label))
+        meta["src_item_id"].append(src_item_id)
+        meta["tgt_item_id"].append(tgt_item_id)
+    arrays = {k: np.asarray(v, np.int32) for k, v in feats.items()}
+    arrays.update({k: np.stack(v) for k, v in img_feats.items()})
+    return ArrayDataset(arrays, meta)
+
+
 def rows_to_pkgm_dataset(rows, tok, kg_ent, kg_rel, max_seq_len: int,
                          max_pvs: int, classification_method: str = "cls"
                          ) -> ArrayDataset:

@@ -80,6 +80,59 @@ def test_finetune_multimodal_cli(tmp_path, vocab_dir, tiny_cfg, capsys):
     assert len(rows_out) == 3
 
 
+def test_finetune_multimodal_two_tower_cli(tmp_path, vocab_dir, tiny_cfg,
+                                           capsys):
+    """roberta_image TWO-tower path (RobertaImageTwoTowerDataset,
+    reference data.py:682-753): per-item [CLS] [IMG] [SEP] text layout."""
+    rows = []
+    rs = np.random.RandomState(0)
+    for i in range(6):
+        emb = ",".join(f"{x:.3f}" for x in rs.randn(8))
+        rows.append((str(i % 2), f"s{i}", "商品 标题", "a:b;b:a", emb,
+                     f"t{i}", "商品 标题", "a:b", emb))
+    with open(tmp_path / "finetune_train_train.tsv", "w") as w:
+        for r in rows:
+            w.write("\t".join(r) + "\n")
+    with open(tmp_path / "finetune_train_valid.tsv", "w") as w:
+        for r in rows[:3]:
+            w.write("\t".join(r) + "\n")
+    rc = main(["finetune-multimodal", "--data_dir", str(tmp_path),
+               "--output_dir", str(tmp_path / "out"),
+               "--vocab_path", vocab_dir, "--config_file", tiny_cfg,
+               "--model_name", "roberta_image_tiny",
+               "--interaction_type", "two_tower",
+               "--image_hidden_size", "8",
+               "--max_seq_len", "6", "--max_seq_len_pv", "6",
+               "--train_batch_size", "3", "--eval_batch_size", "3",
+               "--epochs", "1", "--mesh", "1,1,1",
+               "--do_train", "--do_pred"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    pred = json.loads(out[-1])
+    rows_out = [json.loads(l) for l in open(pred["prediction_file"])]
+    assert len(rows_out) == 3
+
+
+def test_image_two_tower_dataset_layout(vocab_dir):
+    """[IMG] token must land at position 1 (after [CLS]) in each tower —
+    where RobertaImageEmbeddings splices the projected image vector."""
+    from item_alignment_tpu.data.tokenization import (
+        IMG_TOKEN_ID, load_text_tokenizer, rows_to_image_two_tower_dataset,
+    )
+    tok = load_text_tokenizer(vocab_dir)
+    rows = [("1", "s0", "商品", "a:b", "0.5,0.5",
+             "t0", "商品", "b:a", "0.25,0.75")]
+    ds = rows_to_image_two_tower_dataset(rows, tok, 4, 6, image_hidden_size=4)
+    for i in (1, 2):
+        ids = ds.arrays[f"input_ids_{i}"][0]
+        assert ids[0] == tok.cls_token_id
+        assert ids[1] == IMG_TOKEN_ID
+        assert ids[2] == tok.sep_token_id
+        assert ds.arrays[f"image_embeds_{i}"].shape == (1, 4)
+    np.testing.assert_allclose(ds.arrays["image_embeds_1"][0, :2], [0.5, 0.5])
+    np.testing.assert_allclose(ds.arrays["image_embeds_2"][0, :2], [0.25, 0.75])
+
+
 def test_finetune_graph_cli(tmp_path, capsys):
     from item_alignment_tpu.ops.sparse import normalize_adjacency
 
