@@ -64,11 +64,26 @@ def main():
     dt = min(times)
 
     pairs_per_sec = (B * n_iters) / dt
+    # FLOP decomposition per pair: matmuls 2*S*(4H^2 + 2H*I) per layer,
+    # attention 4*S^2*H per layer.  The "identity-attention bound"
+    # (~440 pairs/s) removes ALL attention work; the attention kernel
+    # itself runs near the hardware roofline — its QK^T/PV matmuls have a
+    # 64-deep contraction (head_dim), which caps the MXU at ~50% for that
+    # ~8% slice of the FLOPs, plus ~133M softmax exps per layer per batch
+    # on the VPU.
+    H, I, L, S = (cfg.hidden_size, cfg.intermediate_size,
+                  cfg.num_hidden_layers, cfg.pair_seq_len)
+    matmul_flops = L * 2 * S * (4 * H * H + 2 * H * I)
+    attn_flops = L * 4 * S * S * H
+    total = (matmul_flops + attn_flops) * pairs_per_sec
     result = {
         "metric": "roberta_large_one_tower_inference",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pairs_per_sec / 10000.0, 4),
+        "achieved_tflops": round(total / 1e12, 1),
+        "attention_tflops": round(attn_flops * pairs_per_sec / 1e12, 2),
+        "mfu_vs_197tflops_bf16": round(total / 197e12, 3),
     }
     print(json.dumps(result))
 

@@ -22,11 +22,14 @@ $IA pkgm-pretrain --data_dir "$DATA_DIR/processed" \
   --batch_size 32768 --epochs 500 --learning_rate 1e-4 --margin 1.0 --n_neg 3
 
 # 2. roberta_large v3.4 one-tower cls (the flagship; lr 5e-5 bs 40 seq 50+205)
+#    Full train-state checkpoints land per epoch; re-running with the same
+#    --checkpoint_dir and --resume continues from the last saved state.
 $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
   --vocab_path "$VOCAB" --config_file configs/roberta_large.json \
   --pretrained_model_path "$PRETRAINED" \
   --model_name roberta_large --data_version v3.4 \
   --max_seq_len 50 --max_seq_len_pv 205 --train_batch_size 40 \
+  --checkpoint_dir "$OUT/roberta_large_ckpt" ${RESUME:+--resume} \
   --learning_rate 5e-5 --epochs 10 --bf16 --do_train --do_eval
 
 # 3. roberta_large cls_1,2,3,4_cat variant
@@ -110,4 +113,5 @@ $IA finetune-graph \
   --edges "$DATA_DIR/graph/edges.npz" \
   --train_pairs "$DATA_DIR/graph/item_train_train_pair.jsonl" \
   --valid_pairs "$DATA_DIR/graph/item_train_valid_pair.jsonl" \
+  --edge_chunk 262144 \
   --output_dir "$OUT/gcn"
