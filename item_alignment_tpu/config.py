@@ -102,6 +102,23 @@ class ModelConfig:
                                               # of this size (bounds the
                                               # [E, F] message buffer for
                                               # reference-scale training)
+    gcn_sorted_edges: bool = False            # edge list pre-sorted by dst
+                                              # (sort_edges_by_dst): lets
+                                              # the scatter lower with
+                                              # indices_are_sorted=True —
+                                              # 8x faster TPU compile and
+                                              # ~25% faster execution at
+                                              # reference scale
+    gcn_scan_layers: bool = False             # lax.scan over the layer
+                                              # stack; measured on TPU at
+                                              # reference scale it makes
+                                              # the compile 5x SLOWER
+                                              # (scan-of-scatter is
+                                              # compiler-hostile), so the
+                                              # unrolled loop is default
+                                              # and the spmm custom VJP is
+                                              # what keeps fwd+bwd
+                                              # compilable
 
     # --- numerics ---
     dtype: str = "float32"                    # compute dtype: float32|bfloat16

@@ -35,14 +35,41 @@ class GCN2Layer(nn.Module):
     alpha: float
     beta: float
     edge_chunk: Optional[int] = None
+    sorted_by_dst: bool = False
 
     @nn.compact
-    def __call__(self, x, x0, edge_index, edge_weight):
+    def __call__(self, x, x0, edge_index, edge_weight, edge_transpose=None):
         n = x.shape[0]
-        h = spmm(edge_index, edge_weight, x, n, edge_chunk=self.edge_chunk)
+        h = spmm(edge_index, edge_weight, x, n, edge_chunk=self.edge_chunk,
+                 sorted_by_dst=self.sorted_by_dst, transpose=edge_transpose)
         support = (1.0 - self.alpha) * h + self.alpha * x0
         w = nn.Dense(self.features, use_bias=False, name="weight")(support)
         return (1.0 - self.beta) * support + self.beta * w
+
+
+class _GCN2ScanBody(nn.Module):
+    """One GCN2Conv step as a ``nn.scan`` body: carry = (x, x0, edges),
+    per-iteration input = beta_l.  Scanning the layer stack makes the
+    compiled program contain ONE layer body instead of L — at reference
+    scale the unrolled fwd+bwd compile exceeds the remote-compile relay's
+    time budget; the scanned form is the production path."""
+
+    config: ModelConfig
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, carry, beta):
+        x, x0, edge_index, edge_weight = carry
+        cfg = self.config
+        x = nn.Dropout(cfg.hidden_dropout_prob)(
+            x, deterministic=self.deterministic)
+        h = spmm(edge_index, edge_weight, x, x.shape[0],
+                 edge_chunk=cfg.gcn_edge_chunk,
+                 sorted_by_dst=cfg.gcn_sorted_edges)
+        support = (1.0 - cfg.gcn_alpha) * h + cfg.gcn_alpha * x0
+        w = nn.Dense(cfg.gcn_hidden, use_bias=False, name="weight")(support)
+        x = jax.nn.relu((1.0 - beta) * support + beta * w)
+        return (x, x0, edge_index, edge_weight), None
 
 
 class GCNII(nn.Module):
@@ -50,18 +77,31 @@ class GCNII(nn.Module):
 
     @nn.compact
     def __call__(self, features, edge_index, edge_weight,
-                 deterministic: bool = True):
+                 edge_transpose=None, deterministic: bool = True):
         cfg = self.config
         drop = nn.Dropout(cfg.hidden_dropout_prob)
         x = drop(features, deterministic=deterministic)
         x = x0 = jax.nn.relu(nn.Dense(cfg.gcn_hidden, name="linear")(x))
-        for layer in range(cfg.gcn_layers):
-            x = drop(x, deterministic=deterministic)
-            beta = math.log(cfg.gcn_theta / (layer + 1) + 1.0)
-            x = GCN2Layer(cfg.gcn_hidden, cfg.gcn_alpha, beta,
-                          edge_chunk=cfg.gcn_edge_chunk,
-                          name=f"conv_{layer}")(x, x0, edge_index, edge_weight)
-            x = jax.nn.relu(x)
+        betas = [math.log(cfg.gcn_theta / (l + 1) + 1.0)
+                 for l in range(cfg.gcn_layers)]
+        if cfg.gcn_scan_layers:
+            scanned = nn.scan(
+                _GCN2ScanBody, variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=0, out_axes=0, length=cfg.gcn_layers)
+            (x, *_), _ = scanned(cfg, deterministic, name="conv")(
+                (x, x0, edge_index, edge_weight),
+                jnp.asarray(betas, jnp.float32))
+        else:
+            for layer in range(cfg.gcn_layers):
+                x = drop(x, deterministic=deterministic)
+                x = GCN2Layer(cfg.gcn_hidden, cfg.gcn_alpha, betas[layer],
+                              edge_chunk=cfg.gcn_edge_chunk,
+                              sorted_by_dst=cfg.gcn_sorted_edges,
+                              name=f"conv_{layer}")(x, x0, edge_index,
+                                                    edge_weight,
+                                                    edge_transpose)
+                x = jax.nn.relu(x)
         return drop(x, deterministic=deterministic)
 
 
@@ -73,10 +113,11 @@ class GCNTwoTower(nn.Module):
 
     @nn.compact
     def __call__(self, features, edge_index, edge_weight, src_idx, tgt_idx,
-                 labels=None, deterministic: bool = True):
+                 labels=None, edge_transpose=None,
+                 deterministic: bool = True):
         cfg = self.config
         node_embeddings = GCNII(cfg, name="encoder")(
-            features, edge_index, edge_weight, deterministic)
+            features, edge_index, edge_weight, edge_transpose, deterministic)
         src = node_embeddings[src_idx]
         tgt = node_embeddings[tgt_idx]
         src_embeds, tgt_embeds, logits, full_probs = TwoTowerClassificationHead(

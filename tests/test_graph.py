@@ -70,6 +70,101 @@ def test_gcnii_edge_chunk_config_equivalence():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_spmm_custom_vjp_matches_dense_autodiff():
+    """spmm's custom VJP (bwd = spmm over swapped edges) must equal the
+    gradient of the equivalent dense formulation, for both x and the edge
+    weights."""
+    rs = np.random.RandomState(4)
+    n = 7
+    dense = (rs.rand(n, n) < 0.5).astype(np.float32) * rs.rand(n, n)
+    src, dst = np.nonzero(dense)
+    w = jnp.asarray(dense[src, dst].astype(np.float32))
+    ei = jnp.asarray(np.stack([src, dst]).astype(np.int32))
+    x = jnp.asarray(rs.randn(n, 5).astype(np.float32))
+
+    def loss_sparse(x_, w_):
+        return jnp.sum(spmm(ei, w_, x_, n) ** 2)
+
+    def loss_dense(x_, w_):
+        a = jnp.zeros((n, n)).at[src, dst].set(w_)
+        return jnp.sum((a.T @ x_) ** 2)
+
+    gx_s, gw_s = jax.grad(loss_sparse, argnums=(0, 1))(x, w)
+    gx_d, gw_d = jax.grad(loss_dense, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_d),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_d),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_spmm_sorted_transpose_matches_unsorted():
+    """The TPU-scale path (dst-sorted edges + precomputed transpose list
+    in the VJP, sorted padding) must give identical values and gradients
+    to the plain unsorted formulation."""
+    from item_alignment_tpu.ops.sparse import sort_edges_by_dst, transpose_edges
+
+    rs = np.random.RandomState(5)
+    n, e = 9, 20
+    ei = np.stack([rs.randint(0, n, e), rs.randint(0, n, e)])
+    ei, ew = normalize_adjacency(ei, n)
+    x = jnp.asarray(rs.randn(n, 6).astype(np.float32))
+
+    base = spmm(jnp.asarray(ei), jnp.asarray(ew), x, n)
+    g_base = jax.grad(lambda x: jnp.sum(
+        spmm(jnp.asarray(ei), jnp.asarray(ew), x, n) ** 2))(x)
+
+    si, sw = sort_edges_by_dst(ei, ew)
+    si, sw = pad_edges(si, sw, 32, pad_dst=n - 1)
+    assert (np.diff(si[1]) >= 0).all()  # sorted after padding
+    ti, tw = transpose_edges(ei, ew)
+    ti, tw = pad_edges(ti, tw, 32, pad_dst=n - 1)
+    args = (jnp.asarray(si), jnp.asarray(sw))
+    trans = (jnp.asarray(ti), jnp.asarray(tw))
+
+    out = spmm(*args, x, n, 8, True, trans)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=1e-6, atol=1e-7)
+    g = jax.grad(lambda x: jnp.sum(spmm(*args, x, n, 8, True, trans) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_base),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gcnii_scan_matches_unrolled():
+    """The nn.scan layer stack (production path: one compiled layer body)
+    must match the unrolled loop exactly given the same weights."""
+    cfg_loop = ModelConfig(model_name="gcn", gcn_hidden=8, gcn_layers=3,
+                           gcn_feature_dim=4, hidden_dropout_prob=0.0,
+                           gcn_scan_layers=False)
+    cfg_scan = cfg_loop.replace(gcn_scan_layers=True)
+    rs = np.random.RandomState(3)
+    n = 10
+    ei, ew = normalize_adjacency(
+        np.stack([rs.randint(0, n, 14), rs.randint(0, n, 14)]), n)
+    feats = jnp.asarray(rs.randn(n, 4).astype(np.float32))
+    eij, ewj = jnp.asarray(ei), jnp.asarray(ew)
+
+    p_loop = GCNII(cfg_loop).init({"params": RNG}, feats, eij, ewj)
+    # remap conv_i/weight/kernel -> conv/weight/kernel stacked on axis 0
+    stacked = np.stack([
+        np.asarray(p_loop["params"][f"conv_{i}"]["weight"]["kernel"])
+        for i in range(cfg_loop.gcn_layers)])
+    p_scan = {"params": {
+        "linear": p_loop["params"]["linear"],
+        "conv": {"weight": {"kernel": jnp.asarray(stacked)}},
+    }}
+    out_loop = GCNII(cfg_loop).apply(p_loop, feats, eij, ewj)
+    out_scan = GCNII(cfg_scan).apply(p_scan, feats, eij, ewj)
+    np.testing.assert_allclose(np.asarray(out_loop), np.asarray(out_scan),
+                               rtol=1e-6, atol=1e-6)
+    # gradients agree too (the scan is the reference-scale TRAIN path)
+    g_loop = jax.grad(lambda f: jnp.sum(
+        GCNII(cfg_loop).apply(p_loop, f, eij, ewj) ** 2))(feats)
+    g_scan = jax.grad(lambda f: jnp.sum(
+        GCNII(cfg_scan).apply(p_scan, f, eij, ewj) ** 2))(feats)
+    np.testing.assert_allclose(np.asarray(g_loop), np.asarray(g_scan),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_normalize_adjacency_symmetric():
     edge_index = np.array([[0, 1], [1, 0]])
     ei, ew = normalize_adjacency(edge_index, 3)
