@@ -52,8 +52,11 @@ def main():
             x, m, l = xml
 
             def loss_fn(p):
-                return model.apply(p, x, m, labels=l, deterministic=False,
-                                   rngs={"dropout": jax.random.PRNGKey(0)}).loss
+                # rbg dropout key: matches the Trainer (threefry bit-gen
+                # costs ~30% of the step; rbg uses the hardware RNG)
+                return model.apply(
+                    p, x, m, labels=l, deterministic=False,
+                    rngs={"dropout": jax.random.key(0, impl="rbg")}).loss
 
             loss, g = jax.value_and_grad(loss_fn)(p)
             u, o = tx.update(g, o, p)

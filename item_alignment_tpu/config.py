@@ -280,6 +280,17 @@ class TrainConfig:
                                              # (params+opt+step) before fit
     eval_every_steps: Optional[int] = None   # step-based eval (finetune_bert)
     early_stopping_patience: Optional[int] = None  # evals without F1 gain
+    dropout_rng_impl: str = "rbg"            # PRNG for dropout masks.  The
+                                             # default threefry generator
+                                             # costs ~74ms/step (31%) on
+                                             # the flagship train step
+                                             # (software bit-gen on the
+                                             # VPU); "rbg" uses the TPU
+                                             # hardware RNG.  Set
+                                             # "threefry2x32" for bitwise
+                                             # cross-run reproducibility
+                                             # guarantees across jax
+                                             # versions/shardings.
     mesh: MeshConfig = field(default_factory=MeshConfig)
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
 

@@ -131,7 +131,15 @@ class Trainer:
         params = self._params if self._params is not None else self._init_params(batch)
         params = shard_params(params, self.mesh)
         tx = make_optimizer(self.config.optimizer, params)
-        dropout_rng, self.rng = jax.random.split(self.rng)
+        seed_rng, self.rng = jax.random.split(self.rng)
+        # raw key DATA for the dropout stream (wrapped to a typed key with
+        # config.dropout_rng_impl inside the jitted step): the default
+        # threefry generator spends ~30% of the flagship train step
+        # generating dropout bits on the VPU; "rbg" uses the TPU hardware
+        # RNG.  Kept as a plain uint32 array so multi-host device_put and
+        # checkpointing treat it like any other state leaf.
+        n_words = 4 if self.config.dropout_rng_impl == "rbg" else 2
+        dropout_rng = jax.random.bits(seed_rng, (n_words,), jnp.uint32)
         deltas = None
         if self.adversarial:
             deltas = {name: jnp.zeros((self.config.train_batch_size,) + shape)
@@ -157,9 +165,12 @@ class Trainer:
         model = self.model
         transform = self.batch_transform
         adversarial = self.adversarial
+        rng_impl = self.config.dropout_rng_impl
 
         def train_step(state: TrainState, batch: Dict[str, jax.Array]):
-            dropout_rng = jax.random.fold_in(state.dropout_rng, state.step)
+            base_key = jax.random.wrap_key_data(state.dropout_rng,
+                                                impl=rng_impl)
+            dropout_rng = jax.random.fold_in(base_key, state.step)
             kwargs = transform(batch)
 
             if adversarial:
