@@ -33,7 +33,9 @@ def main():
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
         use_flash_attention=True)
     model = RobertaOneTower(cfg)
-    B, S, n_iters = 32, cfg.pair_seq_len, 8
+    # batch sweep on v5e: 32 -> 341.9, 64 -> 377.8, 128 -> 354.9 pairs/s;
+    # 64 is the throughput sweet spot
+    B, S, n_iters = 64, cfg.pair_seq_len, 4
 
     rng = jax.random.PRNGKey(0)
     input_ids = jax.random.randint(rng, (n_iters, B, S), 1, cfg.vocab_size,
