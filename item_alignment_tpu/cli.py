@@ -464,6 +464,9 @@ def cmd_finetune_text(argv: List[str]) -> int:
                    help="dir containing vocab.txt")
     p.add_argument("--train_file", default="finetune_train_train.tsv")
     p.add_argument("--valid_file", default="finetune_train_valid.tsv")
+    p.add_argument("--test_file", default="finetune_test.tsv",
+                   help="--do_pred predicts on this when present "
+                        "(submission flow), else on --valid_file")
     p.add_argument("--entity2id", default=None)
     p.add_argument("--relation2id", default=None)
     args = p.parse_args(argv)
@@ -544,18 +547,26 @@ def cmd_finetune_text(argv: List[str]) -> int:
         print(json.dumps({"sweep": ev.get("sweep", []),
                           "best_f1": ev.get("best_f1"),
                           "best_threshold": ev.get("best_threshold")}))
-    if args.do_pred and valid_ds is not None and len(valid_ds) > 0:
-        if trainer.state is None:
-            trainer.setup(next(valid_ds.batches(args.eval_batch_size))[0])
-            _maybe_restore(trainer, args)
-        if args.pred_with_best and trainer.best_params is not None:
-            from item_alignment_tpu.parallel.sharding import shard_params
-            trainer.state = trainer.state.replace(
-                params=shard_params(trainer.best_params, trainer.mesh))
-        path = os.path.join(out_dir,
-                            f"deepAI_result_threshold={args.threshold}.jsonl")
-        trainer.predict_jsonl(valid_ds, path, args.threshold)
-        print(json.dumps({"prediction_file": path}))
+    if args.do_pred:
+        # reference submission flow: predict on the TEST pairs when the
+        # prepared test TSV exists (finetune_text.py --do_pred), otherwise
+        # on the validation split
+        test_rows = _load_tsv_rows(args, args.test_file)
+        pred_ds = build_ds(test_rows) if test_rows else valid_ds
+        if pred_ds is not None and len(pred_ds) > 0:
+            if trainer.state is None:
+                trainer.setup(next(pred_ds.batches(args.eval_batch_size))[0])
+                _maybe_restore(trainer, args)
+            if args.pred_with_best and trainer.best_params is not None:
+                from item_alignment_tpu.parallel.sharding import shard_params
+                trainer.state = trainer.state.replace(
+                    params=shard_params(trainer.best_params, trainer.mesh))
+            path = os.path.join(
+                out_dir, f"deepAI_result_threshold={args.threshold}.jsonl")
+            trainer.predict_jsonl(pred_ds, path, args.threshold)
+            print(json.dumps({"prediction_file": path,
+                              "prediction_split": "test" if test_rows
+                              else "valid"}))
     return 0
 
 
@@ -1110,6 +1121,9 @@ def cmd_finetune_multimodal(argv: List[str]) -> int:
     p.add_argument("--vocab_path", required=True)
     p.add_argument("--train_file", default="finetune_train_train.tsv")
     p.add_argument("--valid_file", default="finetune_train_valid.tsv")
+    p.add_argument("--test_file", default="finetune_test.tsv",
+                   help="--do_pred predicts on this when present, else on "
+                        "--valid_file")
     p.add_argument("--image_hidden_size", type=int, default=3072)
     p.add_argument("--ensemble", default="begin",
                    choices=["begin", "end", "sum", "cross_attn"])
@@ -1207,13 +1221,18 @@ def cmd_finetune_multimodal(argv: List[str]) -> int:
         print(json.dumps({"sweep": ev.get("sweep", []),
                           "best_f1": ev.get("best_f1"),
                           "best_threshold": ev.get("best_threshold")}))
-    if args.do_pred and valid_ds is not None:
-        if trainer.state is None:
-            _restore_pretrained(valid_ds)
-        path = os.path.join(out_dir,
-                            f"deepAI_result_threshold={args.threshold}.jsonl")
-        trainer.predict_jsonl(valid_ds, path, args.threshold)
-        print(json.dumps({"prediction_file": path}))
+    if args.do_pred:
+        test_ds = build_ds(args.test_file)
+        pred_ds = test_ds if test_ds is not None and len(test_ds) else valid_ds
+        if pred_ds is not None:
+            if trainer.state is None:
+                _restore_pretrained(pred_ds)
+            path = os.path.join(
+                out_dir, f"deepAI_result_threshold={args.threshold}.jsonl")
+            trainer.predict_jsonl(pred_ds, path, args.threshold)
+            print(json.dumps({"prediction_file": path,
+                              "prediction_split": "test" if pred_ds is test_ds
+                              else "valid"}))
     return 0
 
 

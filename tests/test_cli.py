@@ -34,6 +34,13 @@ def corpus(tmp_path_factory):
     with open(raw / "item_train_pair.jsonl", "w") as w:
         for pr in pairs:
             w.write(json.dumps(pr) + "\n")
+    # unlabeled test pairs -> prepare emits finetune_test.tsv, the
+    # submission prediction target (reference item_test_pair.jsonl)
+    with open(raw / "item_test_pair.jsonl", "w") as w:
+        for i in range(1, 9, 2):
+            w.write(json.dumps({"src_item_id": f"i{i}",
+                                "tgt_item_id": f"i{i + 2}",
+                                "item_label": "0"}) + "\n")
     # tiny vocab
     vocab = ["[PAD]"] + [f"[unused{i}]" for i in range(1, 100)] + \
         ["[UNK]", "[CLS]", "[SEP]", "[MASK]", ":", ";", "a", "b", "商", "品",
@@ -73,6 +80,14 @@ def test_prepare_finetune_pred_roundtrip(corpus, capsys):
         "--do_train", "--do_eval", "--do_pred", "--threshold", "0.4",
     ])
     assert rc == 0
+    out_lines = [json.loads(l)
+                 for l in capsys.readouterr().out.strip().splitlines()
+                 if l.startswith("{")]
+    preds = [o for o in out_lines if "prediction_file" in o]
+    # --do_pred targets the TEST split when finetune_test.tsv exists
+    assert preds and preds[-1]["prediction_split"] == "test"
+    rows = [json.loads(l) for l in open(preds[-1]["prediction_file"])]
+    assert len(rows) == 4 and rows[0]["src_item_id"].startswith("i")
 
 
 def test_pkgm_pretrain_cli(corpus, capsys):
