@@ -90,3 +90,22 @@ def test_last_partial_batch_padded_not_dropped(trained):
     small = ds.select(np.arange(19))  # not a multiple of 16
     ev = trainer.evaluate(small)
     assert len(ev["probs"]) == 19
+
+
+def test_eval_every_steps_mid_epoch():
+    """Step-cadence eval (reference finetune_bert.py evaluates every 1000
+    steps): mid-epoch evals appear in the epoch history."""
+    cfg = ModelConfig.textcnn(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+        vocab_size=50, max_position_embeddings=64, num_filters=8,
+        hidden_dropout_prob=0.0)
+    tcfg = TrainConfig(
+        train_batch_size=16, eval_batch_size=16, num_epochs=1, log_steps=100,
+        eval_every_steps=2, mesh=MeshConfig(data=-1),
+        optimizer=OptimizerConfig(learning_rate=2e-3, total_steps=4))
+    trainer = Trainer(TextCNNTwoTower(cfg), tcfg)
+    ds = make_pair_dataset()  # 64 rows -> 4 steps/epoch
+    result = trainer.fit(ds, ds)
+    mid = result["history"][0].get("mid_evals")
+    assert mid and [m["step"] for m in mid] == [2, 4]
+    assert all(0.0 <= m["best_f1"] <= 1.0 for m in mid)
