@@ -31,7 +31,7 @@ same output contract as the text zoo.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,18 +55,20 @@ class ViTBlock(nn.Module):
     heads: int
     mlp_ratio: float = 4.0
     dropout: float = 0.0
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, name="attn",
+            num_heads=self.heads, name="attn", dtype=self.dtype,
             dropout_rate=self.dropout)(h, h, deterministic=deterministic)
         x = x + h
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp_fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, name="mlp_fc2")(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return x + h
 
@@ -81,25 +83,28 @@ class ViT(nn.Module):
     depth: int = 12
     heads: int = 12
     dropout: float = 0.0
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, images, deterministic: bool = True):
         B = images.shape[0]
         x = nn.Conv(self.dim, (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size),
-                    padding="VALID", name="patch_embed")(images)
+                    padding="VALID", dtype=self.dtype,
+                    name="patch_embed")(images)
         x = x.reshape(B, -1, self.dim)
         n_patches = x.shape[1]
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
-        x = jnp.concatenate([jnp.tile(cls, (B, 1, 1)), x], axis=1)
+        x = jnp.concatenate(
+            [jnp.tile(cls.astype(x.dtype), (B, 1, 1)), x], axis=1)
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, n_patches + 1, self.dim))
-        x = x + pos
+        x = x + pos.astype(x.dtype)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         for i in range(self.depth):
             x = ViTBlock(self.dim, self.heads, dropout=self.dropout,
-                         name=f"block_{i}")(x, deterministic)
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+                         dtype=self.dtype, name=f"block_{i}")(x, deterministic)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x[:, 0], x[:, 1:]
 
 
@@ -137,7 +142,9 @@ class StdConv(nn.Module):
             "gain", nn.initializers.constant(self.gain_init), (self.features,))
         scale = gain * (self.gamma * fan_in ** -0.5) * jax.lax.rsqrt(
             var + self.eps)
-        w = (w - mean) * scale
+        # standardization in fp32 (params are fp32); compute dtype
+        # follows the input (bf16 on the TPU fast path)
+        w = ((w - mean) * scale).astype(x.dtype)
         out = jax.lax.conv_general_dilated(
             x, w, (self.strides, self.strides),
             [_torch_pad(kh, self.strides), _torch_pad(kw, self.strides)],
@@ -145,7 +152,7 @@ class StdConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
-                                   (self.features,))
+                                   (self.features,)).astype(out.dtype)
         return out
 
 
@@ -163,7 +170,7 @@ class PlainConv(nn.Module):
         kh, kw = self.kernel
         cin = x.shape[-1] // self.groups
         w = self.param("kernel", nn.initializers.he_normal(),
-                       (kh, kw, cin, self.features))
+                       (kh, kw, cin, self.features)).astype(x.dtype)
         return jax.lax.conv_general_dilated(
             x, w, (self.strides, self.strides),
             [_torch_pad(kh, self.strides), _torch_pad(kw, self.strides)],
@@ -187,7 +194,7 @@ class AffineAct(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        x = x * scale + bias
+        x = x * scale.astype(x.dtype) + bias.astype(x.dtype)
         return jax.nn.relu(x) if self.apply_act else x
 
 
@@ -248,7 +255,7 @@ class ECA(nn.Module):
         # x [B,H,W,C]
         y = jnp.mean(x, axis=(1, 2))  # [B, C]
         w = self.param("conv", nn.initializers.normal(0.02),
-                       (self.kernel_size, 1, 1))
+                       (self.kernel_size, 1, 1)).astype(y.dtype)
         y = jax.lax.conv_general_dilated(
             y[:, :, None], w, (1,), [_torch_pad(self.kernel_size)],
             dimension_numbers=("NWC", "WIO", "NWC"))[:, :, 0]
@@ -367,7 +374,9 @@ class NFNet(nn.Module):
 
 BACKBONES = {
     "vit": lambda cfg: ViT(image_size=cfg.image_size, patch_size=cfg.patch_size,
-                           dropout=cfg.hidden_dropout_prob),
+                           dropout=cfg.hidden_dropout_prob,
+                           dtype=jnp.bfloat16 if cfg.dtype == "bfloat16"
+                           else None),
     "resnet": lambda cfg: ResNetV2(),
     "nfnet": lambda cfg: NFNet(),
 }
@@ -391,10 +400,15 @@ class ImageTwoTower(nn.Module):
                  deterministic: bool = True):
         cfg = self.config
         tower = backbone_for(cfg.image_model_name, cfg)
+        if cfg.dtype == "bfloat16":
+            images_1 = images_1.astype(jnp.bfloat16)
+            images_2 = images_2.astype(jnp.bfloat16)
         f1 = tower(images_1, deterministic)
         f2 = tower(images_2, deterministic)
         if isinstance(f1, tuple):  # ViT returns (cls, tokens)
             f1, f2 = f1[0], f2[0]
+        f1 = f1.astype(jnp.float32)
+        f2 = f2.astype(jnp.float32)
         src_embeds, tgt_embeds, logits, probs = TwoTowerClassificationHead(
             dropout_rate=cfg.hidden_dropout_prob, num_labels=cfg.num_labels,
             name="classifier")(f1, f2, deterministic)

@@ -76,6 +76,13 @@ def flash_attention(
             return dot_product_attention(q, k, v, bias, dropout_rate,
                                          dropout_rng, dtype)
     try:
+        if q.shape[1] > 512:
+            # [S, S] score tiles stop fitting VMEM: swap in the block-wise
+            # online-softmax kernel (SURVEY §5.7 swappability)
+            from item_alignment_tpu.ops.pallas_attention import (
+                fused_attention_blockwise,
+            )
+            return fused_attention_blockwise(q, k, v, bias).astype(dtype)
         from item_alignment_tpu.ops.pallas_attention import fused_attention
         return fused_attention(q, k, v, bias).astype(dtype)
     except Exception as e:  # pragma: no cover - TPU-only fallback

@@ -317,3 +317,132 @@ def _fused_attention_dropout_bwd(rate, res, g):
 
 fused_attention_dropout.defvjp(_fused_attention_dropout_fwd,
                                _fused_attention_dropout_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Block-wise (flash) attention: online softmax over KV blocks.
+#
+# The <=512-token pair workload fits whole [S, S] tiles in VMEM, so the
+# kernels above never need blocking; this kernel is the drop-in for longer
+# sequences (SURVEY §5.7: "design the attention layer so block-wise kernels
+# could be swapped in").  Grid = (batch, head_group, q_block, kv_block) with
+# kv innermost; softmax statistics (m, l) and the output accumulator live
+# in VMEM scratch and persist across the kv iterations of one q block.
+# ---------------------------------------------------------------------------
+
+_LANES = 128  # stats are replicated across the lane dim (TPU 2D tiling)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
+                  m_scratch, l_scratch, acc_scratch, *,
+                  scale: float, heads_in_cell: int, head_dim: int):
+    kv_i = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -1e30)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    bias = bias_ref[0].astype(jnp.float32)  # [1, block_kv]
+    for h in range(heads_in_cell):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0][:, sl]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale + bias  # [bq, bkv]
+        m_prev = m_scratch[h][:, :1]                       # [bq, 1]
+        l_prev = l_scratch[h][:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)                    # rescale factor
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [bq, H]
+        acc_scratch[:, sl] = acc_scratch[:, sl] * alpha + pv
+        m_scratch[h] = jnp.broadcast_to(m_new, m_scratch[h].shape)
+        l_scratch[h] = jnp.broadcast_to(l_new, l_scratch[h].shape)
+
+    @pl.when(kv_i == n_kv - 1)
+    def _final():
+        for h in range(heads_in_cell):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            denom = l_scratch[h][:, :1]
+            o_ref[0, :, sl] = (acc_scratch[:, sl] / denom).astype(o_ref.dtype)
+
+
+def _flash_blockwise_impl(q, k, v, bias, block_q: int, block_kv: int):
+    B, S, N, H = q.shape
+    scale = 1.0 / (H ** 0.5)
+    group = min(N, MAX_HEADS_PER_CELL)
+    assert N % group == 0, f"heads {N} not divisible by group {group}"
+    assert S % block_q == 0 and S % block_kv == 0, (
+        f"seq {S} not divisible by blocks ({block_q}, {block_kv})")
+    qt = q.reshape(B, S, N * H)
+    kt = k.reshape(B, S, N * H)
+    vt = v.reshape(B, S, N * H)
+    if bias is None:
+        bias_rows = jnp.zeros((B, 1, S), jnp.float32)
+    else:
+        bias_rows = bias.reshape(B, 1, S).astype(jnp.float32)
+
+    grid = (B, N // group, S // block_q, S // block_kv)
+    q_spec = pl.BlockSpec((1, block_q, group * H),
+                          lambda b, g, qi, ki: (b, qi, g),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_kv, group * H),
+                           lambda b, g, qi, ki: (b, ki, g),
+                           memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, 1, block_kv),
+                             lambda b, g, qi, ki: (b, 0, ki),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, heads_in_cell=group,
+                          head_dim=H),
+        out_shape=jax.ShapeDtypeStruct((B, S, N * H), q.dtype),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec, bias_spec],
+        out_specs=q_spec,
+        scratch_shapes=[
+            pltpu.VMEM((group, block_q, _LANES), jnp.float32),  # m
+            pltpu.VMEM((group, block_q, _LANES), jnp.float32),  # l
+            pltpu.VMEM((block_q, group * H), jnp.float32),      # acc
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * N * S * S * H,
+            bytes_accessed=4 * B * S * N * H * q.dtype.itemsize,
+            transcendentals=B * N * S * S,
+        ),
+    )(qt, kt, vt, bias_rows)
+    return out.reshape(B, S, N, H)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_attention_blockwise(q, k, v, bias=None,
+                              block_q: int = 256, block_kv: int = 256):
+    """Flash attention (online softmax over KV blocks) for sequences whose
+    [S, S] score tile no longer fits VMEM.  The backward currently reuses
+    the full-tile Pallas kernel (fine up to ~1k tokens); a blocked backward
+    would slot in the same way."""
+    return _flash_blockwise_impl(q, k, v, bias, block_q, block_kv)
+
+
+def _fused_attention_blockwise_fwd(q, k, v, bias, block_q, block_kv):
+    return _flash_blockwise_impl(q, k, v, bias, block_q, block_kv), \
+        (q, k, v, bias)
+
+
+def _fused_attention_blockwise_bwd(block_q, block_kv, res, g):
+    q, k, v, bias = res
+    _, dq, dk, dv, _ = _fused_attention_dropout_bwd(
+        0.0, (jnp.int32(0), q, k, v, bias), g)
+    return dq, dk, dv, None
+
+
+fused_attention_blockwise.defvjp(_fused_attention_blockwise_fwd,
+                                 _fused_attention_blockwise_bwd)

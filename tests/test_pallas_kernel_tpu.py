@@ -55,6 +55,35 @@ def test_kernel_grads_match_xla():
         assert float(jnp.abs(a - b).max()) / denom < 2e-2
 
 
+def test_blockwise_kernel_matches_xla_long_sequence():
+    """Online-softmax flash kernel at S=1024 (where [S, S] full tiles no
+    longer fit VMEM comfortably) vs the XLA reference."""
+    from item_alignment_tpu.ops.attention import dot_product_attention
+    from item_alignment_tpu.ops.pallas_attention import (
+        fused_attention_blockwise,
+    )
+
+    q, k, v, bias = _inputs(B=2, S=1024, N=8)
+    ref = np.asarray(dot_product_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        bias))
+    out = np.asarray(fused_attention_blockwise(
+        q, k, v, bias, 256, 256)).astype(np.float32)
+    assert np.abs(ref - out).max() < 2e-2
+
+
+def test_blockwise_kernel_matches_full_tile_kernel():
+    from item_alignment_tpu.ops.pallas_attention import (
+        fused_attention, fused_attention_blockwise,
+    )
+
+    q, k, v, bias = _inputs()  # S=512
+    a = np.asarray(fused_attention(q, k, v, bias)).astype(np.float32)
+    b = np.asarray(fused_attention_blockwise(
+        q, k, v, bias, 128, 128)).astype(np.float32)
+    assert np.abs(a - b).max() < 2e-2
+
+
 # --------------------------------------------------- in-kernel dropout path
 
 def test_dropout_kernel_zero_rate_limit():
