@@ -19,7 +19,7 @@ Re-designs of reference ``src/models/multimodal.py``:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -132,8 +132,10 @@ def swiglu(x: jax.Array) -> jax.Array:
     return jax.nn.silu(gate) * x
 
 
-def _ln(name):
-    return nn.LayerNorm(use_bias=False, name=name)  # bias-free (ref 475-482)
+def _ln(name, dtype=None):
+    # bias-free (ref 475-482); dtype keeps the bf16 compute policy (flax
+    # would otherwise promote back to fp32 against the fp32 scale param)
+    return nn.LayerNorm(use_bias=False, dtype=dtype, name=name)
 
 
 class ParallelTransformerBlock(nn.Module):
@@ -146,6 +148,7 @@ class ParallelTransformerBlock(nn.Module):
     heads: int = 8
     ff_mult: int = 4
     is_decoding: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, attn_mask: Optional[jax.Array] = None):
@@ -154,9 +157,9 @@ class ParallelTransformerBlock(nn.Module):
         attn_inner = h * dh
         ff_inner = self.dim * self.ff_mult
 
-        y = _ln("norm")(x)
+        y = _ln("norm", self.dtype)(x)
         fused = nn.Dense(attn_inner + 2 * dh + 2 * ff_inner, use_bias=False,
-                         name="fused_attn_ff_proj")(y)
+                         dtype=self.dtype, name="fused_attn_ff_proj")(y)
         q, k, v, ff = jnp.split(
             fused, [attn_inner, attn_inner + dh, attn_inner + 2 * dh], axis=-1)
         q = q.reshape(B, N, h, dh).transpose(0, 2, 1, 3)  # [B,h,N,dh]
@@ -177,8 +180,10 @@ class ParallelTransformerBlock(nn.Module):
         attn = jax.nn.softmax(sim, axis=-1)
         out = jnp.einsum("bhij,bjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, attn_inner)
-        out = nn.Dense(self.dim, use_bias=False, name="attn_out")(out)
-        ff_out = nn.Dense(self.dim, use_bias=False, name="ff_out")(swiglu(ff))
+        out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                       name="attn_out")(out)
+        ff_out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                          name="ff_out")(swiglu(ff))
         return out + ff_out
 
 
@@ -192,18 +197,21 @@ class CrossAttention(nn.Module):
     parallel_ff: bool = False
     ff_mult: int = 4
     norm_context: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, context):
         B, N, _ = x.shape
         h, dh = self.heads, self.dim_head
         inner = h * dh
-        y = _ln("norm")(x)
-        ctx = _ln("context_norm")(context) if self.norm_context else context
+        y = _ln("norm", self.dtype)(x)
+        ctx = (_ln("context_norm", self.dtype)(context)
+               if self.norm_context else context)
 
-        q = nn.Dense(inner, use_bias=False, name="to_q")(y)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(y)
         q = q.reshape(B, N, h, dh).transpose(0, 2, 1, 3) * (dh ** -0.5)
-        kv = nn.Dense(2 * dh, use_bias=False, name="to_kv")(ctx)
+        kv = nn.Dense(2 * dh, use_bias=False, dtype=self.dtype,
+                      name="to_kv")(ctx)
         k, v = jnp.split(kv, 2, axis=-1)
 
         sim = jnp.einsum("bhid,bjd->bhij", q, k)
@@ -211,11 +219,12 @@ class CrossAttention(nn.Module):
         attn = jax.nn.softmax(sim, axis=-1)
         out = jnp.einsum("bhij,bjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
-        out = nn.Dense(self.dim, use_bias=False, name="to_out")(out)
+        out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                       name="to_out")(out)
         if self.parallel_ff:
             ff = nn.Dense(2 * self.dim * self.ff_mult, use_bias=False,
-                          name="ff_in")(y)
-            out = out + nn.Dense(self.dim, use_bias=False,
+                          dtype=self.dtype, name="ff_in")(y)
+            out = out + nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                                  name="ff_out")(swiglu(ff))
         return out
 
@@ -229,16 +238,21 @@ class MultimodalDecoder(nn.Module):
     @nn.compact
     def __call__(self, text_tokens, image_tokens):
         cfg = self.config
+        dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+        if dt is not None:
+            text_tokens = text_tokens.astype(dt)
+            image_tokens = image_tokens.astype(dt)
         for i in range(cfg.multimodal_depth):
             text_tokens = text_tokens + ParallelTransformerBlock(
                 dim=cfg.hidden_size, dim_head=cfg.hidden_size // cfg.coca_heads,
                 heads=cfg.coca_heads, ff_mult=cfg.ff_mult,
-                is_decoding=self.is_decoding, name=f"attn_ff_{i}")(text_tokens)
+                is_decoding=self.is_decoding, dtype=dt,
+                name=f"attn_ff_{i}")(text_tokens)
             text_tokens = text_tokens + CrossAttention(
                 dim=cfg.hidden_size, dim_head=cfg.hidden_size // cfg.coca_heads,
                 heads=cfg.coca_heads, parallel_ff=True, ff_mult=cfg.ff_mult,
-                name=f"cross_attn_{i}")(text_tokens, image_tokens)
-        return text_tokens
+                dtype=dt, name=f"cross_attn_{i}")(text_tokens, image_tokens)
+        return text_tokens.astype(jnp.float32)
 
 
 class CoCaModel(nn.Module):
