@@ -9,13 +9,52 @@ OUT=${OUT:-$DATA_DIR/output}
 VOCAB=${VOCAB:-$DATA_DIR/vocab}
 IA=${IA:-ia-tpu}
 
-# per-model predictions (threshold 0.4 file naming, like the reference)
-for model in roberta_large pkgm_large textcnn; do
-  $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
-    --vocab_path "$VOCAB" --config_file "configs/${model}.json" \
-    --model_name "$model" --data_version v3.4 --threshold 0.4 --do_pred \
-    ${EXTRA_FLAGS:-}
-done
+# per-model predictions (threshold 0.4 file naming, like the reference);
+# --do_pred targets processed/finetune_test.tsv when present
+$IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
+  --vocab_path "$VOCAB" --config_file configs/roberta_large.json \
+  --model_name roberta_large --data_version v3.4 --threshold 0.4 --do_pred \
+  --file_state_dict "$OUT/roberta_large-v3.4-one_tower-cls-NA-ce/best_f1.msgpack" \
+  ${EXTRA_FLAGS:-}
+$IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
+  --vocab_path "$VOCAB" --config_file configs/roberta_large.json \
+  --model_name roberta_large --data_version v3.4 --cls_layers 1,2,3,4 \
+  --cls_pool cat --threshold 0.4 --do_pred \
+  --file_state_dict "$OUT/roberta_large-v3.4-one_tower-cls_1,2,3,4_cat-NA-ce/best_f1.msgpack" \
+  ${EXTRA_FLAGS:-}
+$IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
+  --vocab_path "$VOCAB" --config_file configs/pkgm_large.json \
+  --entity2id "$DATA_DIR/processed/entity2id.txt" \
+  --relation2id "$DATA_DIR/processed/relation2id.txt" \
+  --model_name pkgm_large --data_version v3.4 --max_seq_len 64 \
+  --threshold 0.4 --do_pred \
+  --file_state_dict "$OUT/pkgm_large-v3.4-one_tower-cls-NA-ce/best_f1.msgpack" \
+  ${EXTRA_FLAGS:-}
+$IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
+  --vocab_path "$VOCAB" --config_file configs/textcnn.json \
+  --model_name textcnn --data_version v3.4 --interaction_type two_tower \
+  --threshold 0.6 --do_pred \
+  --file_state_dict "$OUT/textcnn-v3.4-two_tower-cls-NA-ce/best_f1.msgpack" \
+  ${EXTRA_FLAGS:-}
+$IA finetune-multimodal --data_dir "$DATA_DIR/processed_image" \
+  --output_dir "$OUT" --vocab_path "$VOCAB" \
+  --config_file configs/roberta_image_large.json \
+  --model_name roberta_image_large --data_version v5 --ensemble begin \
+  --threshold 0.4 --do_pred \
+  --file_state_dict "$OUT/roberta_image_large-v5-one_tower-cls-begin-ce/best_f1.msgpack" \
+  ${EXTRA_FLAGS:-}
+$IA finetune-image --data_dir "$DATA_DIR" --output_dir "$OUT" \
+  --shards "$DATA_DIR"/image_shards/test_feat_*.npz \
+  --model_name eca_nfnet_l0 --data_version v6 --image_size 800 \
+  --interaction_type two_tower --threshold 0.5 --do_pred \
+  --file_state_dict "$OUT/eca_nfnet_l0-v6-two_tower-cls-NA-ce/best_f1.msgpack" \
+  ${EXTRA_FLAGS:-}
+# legacy bert: pred-bert writes the submission jsonl into the ensemble dir
+mkdir -p "$OUT/bert_base-one_tower-cls-NA-ce"
+$IA pred-bert --test_file "$DATA_DIR/item-align-test.json" \
+  --vocab_path "$VOCAB" --config_file configs/roberta_base.json \
+  --params "$OUT/bert_base/bert_align.msgpack" --threshold 0.4 \
+  --output "$OUT/bert_base-one_tower-cls-NA-ce/deepAI_result_threshold=0.4.jsonl"
 
 # threshold ensemble with the category-aware split (model_ensemble.py)
 $IA ensemble --data_dir "$DATA_DIR" --ensemble_strategy threshold \
