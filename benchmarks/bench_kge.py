@@ -1,0 +1,64 @@
+"""PKGM KG-embedding pretraining throughput at the reference's scale:
+258,211 entities x 1,379 relations (pkgm_large.json), margin loss,
+Bernoulli corruption n_neg=3, batch 32,768 (pkgm_pretrain.py:81-135 /
+train.sh --batch_size 32768 --epochs 500).
+
+Measures triples/s through the full KGETrainer epoch path (whole-KG
+corruption + jitted gather/score/grad steps + per-epoch normalize) on a
+synthetic KG with the reference's entity/relation cardinalities, and
+reports the estimated wall-clock for the reference's 500-epoch pretrain.
+
+Run manually: ``python benchmarks/bench_kge.py [--n_facts 3000000]``.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n_entities", type=int, default=258_211)
+    p.add_argument("--n_relations", type=int, default=1_379)
+    p.add_argument("--n_facts", type=int, default=3_000_000)
+    p.add_argument("--dim", type=int, default=1024)
+    p.add_argument("--batch_size", type=int, default=32_768)
+    p.add_argument("--epochs", type=int, default=2)
+    args = p.parse_args()
+
+    from item_alignment_tpu.kge.graph import KnowledgeGraph
+    from item_alignment_tpu.kge.models import KGEModel
+    from item_alignment_tpu.kge.train import KGETrainer
+
+    rs = np.random.RandomState(0)
+    kg = KnowledgeGraph(
+        rs.randint(0, args.n_entities, args.n_facts).astype(np.int64),
+        rs.randint(0, args.n_relations, args.n_facts).astype(np.int64),
+        rs.randint(0, args.n_entities, args.n_facts).astype(np.int64),
+        n_ent=args.n_entities, n_rel=args.n_relations)
+    model = KGEModel(name="pkgm", n_ent=args.n_entities,
+                     n_rel=args.n_relations, emb_dim=args.dim)
+    trainer = KGETrainer(model, kg, batch_size=args.batch_size,
+                         n_epochs=args.epochs, n_neg=3,
+                         sampling_type="bernoulli")
+    t0 = time.perf_counter()
+    result = trainer.run()
+    dt = time.perf_counter() - t0
+    # first epoch includes compiles; report the last epoch's rate
+    last_wall = result["history"][-1]["wall_s"]
+    triples_per_sec = kg.n_facts / last_wall
+    print(json.dumps({
+        "metric": "pkgm_pretrain_throughput",
+        "n_entities": args.n_entities, "n_facts": args.n_facts,
+        "dim": args.dim, "batch_size": args.batch_size,
+        "triples_per_sec": round(triples_per_sec, 1),
+        "epoch_wall_s": round(last_wall, 2),
+        "ref_500_epoch_est_hours": round(last_wall * 500 / 3600, 2),
+        "total_wall_s": round(dt, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
