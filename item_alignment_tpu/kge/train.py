@@ -83,6 +83,30 @@ class KGETrainer:
             return optax.apply_updates(params, updates), opt_state, loss
 
         self._step = step
+
+        # device-side epoch: lax.scan over the pre-stacked batches; one
+        # dispatch + one host sync per EPOCH instead of per step (the
+        # per-step python loop is dispatch-latency-bound, especially
+        # through a remote-TPU tunnel)
+        @jax.jit
+        def epoch(params, opt_state, h, t, r, nh, nt):
+            def body(carry, batch):
+                p, o = carry
+                bh, bt, br, bnh, bnt = batch
+
+                def loss_fn(p):
+                    pos, neg = model_.forward(p, bh, bt, br, bnh, bnt)
+                    return kge_loss(loss_type_, pos, neg, margin_)
+
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                updates, o = self.tx.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (h, t, r, nh, nt))
+            return params, opt_state, losses
+
+        self._epoch = epoch
         self._normalize = jax.jit(model.normalize_parameters)
 
     def run(self) -> Dict[str, Any]:
@@ -93,23 +117,24 @@ class KGETrainer:
             ep_rng, self.rng = jax.random.split(self.rng)
             # whole-KG corruption, one vectorized op (torchkge corrupt_kg)
             nh, nt = self.sampler.corrupt_kg(ep_rng)
+            nh, nt = np.asarray(nh), np.asarray(nt)
             order = np.random.RandomState(epoch).permutation(kg.n_facts)
-            losses = []
-            for s in range(0, kg.n_facts - bs + 1, bs) or [0]:
-                idx = order[s:s + bs]
-                if len(idx) == 0:
-                    idx = order
-                neg_idx = np.concatenate([idx + i * kg.n_facts
-                                          for i in range(self.n_neg)])
-                self.params, self.opt_state, loss = self._step(
-                    self.params, self.opt_state,
-                    jnp.asarray(kg.head_idx[idx]), jnp.asarray(kg.tail_idx[idx]),
-                    jnp.asarray(kg.relations[idx]),
-                    jnp.asarray(nh[neg_idx % len(nh)]),
-                    jnp.asarray(nt[neg_idx % len(nt)]))
-                losses.append(float(loss))
+            n_steps = max(kg.n_facts // bs, 1)
+            if kg.n_facts < bs:
+                # tiny KGs: one step over everything (padding by wrap)
+                order = np.resize(order, bs)
+            idx = order[: n_steps * bs].reshape(n_steps, bs)
+            neg_idx = np.concatenate(
+                [idx + i * kg.n_facts for i in range(self.n_neg)], axis=1)
+            self.params, self.opt_state, losses = self._epoch(
+                self.params, self.opt_state,
+                jnp.asarray(kg.head_idx[idx]), jnp.asarray(kg.tail_idx[idx]),
+                jnp.asarray(kg.relations[idx]),
+                jnp.asarray(nh[neg_idx % len(nh)]),
+                jnp.asarray(nt[neg_idx % len(nt)]))
+            losses = np.asarray(losses)
             self.params = self._normalize(self.params)
-            mean_loss = float(np.mean(losses)) if losses else float("nan")
+            mean_loss = float(np.mean(losses)) if losses.size else float("nan")
             history.append({"epoch": epoch, "loss": mean_loss,
                             "wall_s": time.time() - t0})
             if epoch % 10 == 0 or epoch == self.n_epochs - 1:
