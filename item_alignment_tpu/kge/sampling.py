@@ -66,10 +66,16 @@ class UniformNegativeSampler:
 
     def corrupt_kg(self, rng, n_neg: Optional[int] = None
                    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Whole-graph corruption in one vectorized op."""
-        nh, nt = self.corrupt_batch(rng, self.kg.head_idx, self.kg.tail_idx,
-                                    self.kg.relations, n_neg)
+        """Whole-graph corruption in one vectorized op (host arrays)."""
+        nh, nt = self.corrupt_kg_device(rng, n_neg)
         return np.asarray(nh), np.asarray(nt)
+
+    def corrupt_kg_device(self, rng, n_neg: Optional[int] = None):
+        """Whole-graph corruption, result left ON DEVICE — the training loop
+        consumes it there; downloading 2x n_facts*n_neg int32 through a
+        remote-TPU tunnel costs seconds per epoch."""
+        return self.corrupt_batch(rng, self.kg.head_idx, self.kg.tail_idx,
+                                  self.kg.relations, n_neg)
 
 
 class BernoulliNegativeSampler(UniformNegativeSampler):

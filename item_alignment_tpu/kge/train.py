@@ -84,26 +84,38 @@ class KGETrainer:
 
         self._step = step
 
-        # device-side epoch: lax.scan over the pre-stacked batches; one
-        # dispatch + one host sync per EPOCH instead of per step (the
-        # per-step python loop is dispatch-latency-bound, especially
-        # through a remote-TPU tunnel)
+        # the KG's index arrays live on device for the whole run (they
+        # never change); per epoch only the [n_steps, bs] shuffle order is
+        # transferred and the negatives stay on device end-to-end
+        self._dev_kg = (jnp.asarray(kg.head_idx), jnp.asarray(kg.tail_idx),
+                        jnp.asarray(kg.relations))
+        n_facts_ = kg.n_facts
+        n_neg_ = self.n_neg
+
+        # device-side epoch: lax.scan over the shuffled batch indices with
+        # per-step gathers; one dispatch + one host sync per EPOCH instead
+        # of per step (the per-step python loop is dispatch-latency-bound,
+        # especially through a remote-TPU tunnel)
         @jax.jit
-        def epoch(params, opt_state, h, t, r, nh, nt):
-            def body(carry, batch):
+        def epoch(params, opt_state, h_all, t_all, r_all, nh, nt, idx):
+            def body(carry, bidx):
                 p, o = carry
-                bh, bt, br, bnh, bnt = batch
+                neg = jnp.concatenate(
+                    [bidx + i * n_facts_ for i in range(n_neg_)]
+                ) % nh.shape[0]
 
                 def loss_fn(p):
-                    pos, neg = model_.forward(p, bh, bt, br, bnh, bnt)
-                    return kge_loss(loss_type_, pos, neg, margin_)
+                    pos, negs = model_.forward(
+                        p, h_all[bidx], t_all[bidx], r_all[bidx],
+                        nh[neg], nt[neg])
+                    return kge_loss(loss_type_, pos, negs, margin_)
 
                 loss, grads = jax.value_and_grad(loss_fn)(p)
                 updates, o = self.tx.update(grads, o, p)
                 return (optax.apply_updates(p, updates), o), loss
 
             (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (h, t, r, nh, nt))
+                body, (params, opt_state), idx)
             return params, opt_state, losses
 
         self._epoch = epoch
@@ -116,22 +128,16 @@ class KGETrainer:
             t0 = time.time()
             ep_rng, self.rng = jax.random.split(self.rng)
             # whole-KG corruption, one vectorized op (torchkge corrupt_kg)
-            nh, nt = self.sampler.corrupt_kg(ep_rng)
-            nh, nt = np.asarray(nh), np.asarray(nt)
+            nh, nt = self.sampler.corrupt_kg_device(ep_rng)
             order = np.random.RandomState(epoch).permutation(kg.n_facts)
             n_steps = max(kg.n_facts // bs, 1)
             if kg.n_facts < bs:
                 # tiny KGs: one step over everything (padding by wrap)
                 order = np.resize(order, bs)
-            idx = order[: n_steps * bs].reshape(n_steps, bs)
-            neg_idx = np.concatenate(
-                [idx + i * kg.n_facts for i in range(self.n_neg)], axis=1)
+            idx = order[: n_steps * bs].reshape(n_steps, bs).astype(np.int32)
             self.params, self.opt_state, losses = self._epoch(
-                self.params, self.opt_state,
-                jnp.asarray(kg.head_idx[idx]), jnp.asarray(kg.tail_idx[idx]),
-                jnp.asarray(kg.relations[idx]),
-                jnp.asarray(nh[neg_idx % len(nh)]),
-                jnp.asarray(nt[neg_idx % len(nt)]))
+                self.params, self.opt_state, *self._dev_kg, nh, nt,
+                jnp.asarray(idx))
             losses = np.asarray(losses)
             self.params = self._normalize(self.params)
             mean_loss = float(np.mean(losses)) if losses.size else float("nan")
