@@ -10,6 +10,7 @@ Run manually: ``python benchmarks/bench_train.py [--remat]``.
 """
 
 import argparse
+import functools
 import json
 import time
 
@@ -24,9 +25,16 @@ def main():
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat_policy", default="dots", choices=["dots", "full"])
+    p.add_argument("--opt", default="fused", choices=["fused", "optax"],
+                   help="fused single-pass AdamW (engine.optim.fused_adamw) "
+                        "vs plain optax.adamw")
+    p.add_argument("--breakdown", action="store_true",
+                   help="also time fwd-only and fwd+bwd-only scans to report "
+                        "the fwd/bwd/opt cost split")
     args = p.parse_args()
 
-    from item_alignment_tpu.config import ModelConfig
+    from item_alignment_tpu.config import ModelConfig, OptimizerConfig
+    from item_alignment_tpu.engine.optim import make_optimizer
     from item_alignment_tpu.models.text import RobertaOneTower
 
     cfg = ModelConfig.roberta_large(
@@ -41,24 +49,25 @@ def main():
     mask = jnp.ones((iters, B, S), jnp.int32)
     labels = jnp.zeros((iters, B), jnp.int32)
     params = jax.jit(model.init)({"params": rng, "dropout": rng},
-                                 ids[0], mask[0], labels=labels[0])
-    tx = optax.adamw(5e-5, b1=0.9, b2=0.98)
+                                 ids[0], mask[0], labels=labels[0])["params"]
+    ocfg = OptimizerConfig(learning_rate=5e-5, total_steps=16000,
+                           fused=(args.opt == "fused"))
+    tx = make_optimizer(ocfg, params)
     opt_state = tx.init(params)
 
-    @jax.jit
+    def loss_fn(p, x, m, l):
+        # rbg dropout key: matches the Trainer (threefry bit-gen costs
+        # ~30% of the step; rbg uses the hardware RNG)
+        return model.apply(
+            {"params": p}, x, m, labels=l, deterministic=False,
+            rngs={"dropout": jax.random.key(0, impl="rbg")}).loss
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_n(params, opt_state, ids, masks, labels):
         def body(carry, xml):
             p, o = carry
             x, m, l = xml
-
-            def loss_fn(p):
-                # rbg dropout key: matches the Trainer (threefry bit-gen
-                # costs ~30% of the step; rbg uses the hardware RNG)
-                return model.apply(
-                    p, x, m, labels=l, deterministic=False,
-                    rngs={"dropout": jax.random.key(0, impl="rbg")}).loss
-
-            loss, g = jax.value_and_grad(loss_fn)(p)
+            loss, g = jax.value_and_grad(loss_fn)(p, x, m, l)
             u, o = tx.update(g, o, p)
             return (optax.apply_updates(p, u), o), loss
 
@@ -66,15 +75,52 @@ def main():
             body, (params, opt_state), (ids, masks, labels))
         return params, opt_state, losses[-1]
 
-    params, opt_state, loss = train_n(params, opt_state, ids, mask, labels)
-    np.asarray(loss)  # sync
-    times = []
-    for _ in range(2):
+    def timed(fn, *fn_args):
+        out = fn(*fn_args)  # compile
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = fn(*fn_args)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        return min(times), out
+
+    breakdown = {}
+    if args.breakdown:
+        @jax.jit
+        def fwd_n(params, ids, masks, labels):
+            def body(acc, xml):
+                x, m, l = xml
+                return acc + loss_fn(params, x, m, l), None
+            return jax.lax.scan(body, 0.0, (ids, masks, labels))[0]
+
+        @jax.jit
+        def grad_n(params, ids, masks, labels):
+            def body(acc, xml):
+                x, m, l = xml
+                loss, g = jax.value_and_grad(loss_fn)(params, x, m, l)
+                return jax.tree.map(lambda a, b: a + b, acc, g), loss
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            return jax.lax.scan(body, zeros, (ids, masks, labels))[1][-1]
+
+        t_fwd, _ = timed(fwd_n, params, ids, mask, labels)
+        t_grad, _ = timed(grad_n, params, ids, mask, labels)
+        breakdown = {
+            "fwd_ms": round(t_fwd / iters * 1000, 1),
+            "bwd_ms": round((t_grad - t_fwd) / iters * 1000, 1),
+        }
+
+    dt = None
+    for _ in range(3):
         t0 = time.perf_counter()
         params, opt_state, loss = train_n(params, opt_state, ids, mask, labels)
         np.asarray(loss)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+        t = time.perf_counter() - t0
+        dt = t if dt is None or t < dt else dt
+    if args.breakdown:
+        breakdown["opt_ms"] = round(
+            dt / iters * 1000 - breakdown["fwd_ms"] - breakdown["bwd_ms"], 1)
     pairs_per_sec = B * iters / dt
     # model FLOPs (fwd): per layer 2*S*(4H^2 qkvo + 2H*I mlp) matmul MACs*2
     # + attention 2*2*S^2*H; train step = fwd + 2x bwd = 3x fwd (no remat
@@ -94,9 +140,11 @@ def main():
         "batch_size": B,
         "remat": args.remat,
         "remat_policy": args.remat_policy if args.remat else None,
+        "opt": args.opt,
         # ~65k train pairs x 10 epochs at this batch size
         "flagship_10epoch_est_hours": round(
             (650_000 / B) * (dt / iters) / 3600, 2),
+        **breakdown,
     }))
 
 

@@ -90,6 +90,11 @@ def _common_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--resume", action="store_true",
                    help="restore the latest full train state from "
                         "--checkpoint_dir before training")
+    p.add_argument("--parameters_to_freeze", default=None,
+                   help="JSON file (or inline JSON list) of parameter-path "
+                        "patterns to freeze during finetune "
+                        "(finetune_text.py:257-272); matched as substrings "
+                        "of the '/'-joined flax param path")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder layers to cut HBM use")
     p.add_argument("--remat_policy", default="dots", choices=["dots", "full"],
@@ -190,6 +195,16 @@ def _model_config(args, **extra) -> ModelConfig:
     return ModelConfig(**kw)
 
 
+def _freeze_patterns(args) -> tuple:
+    spec = getattr(args, "parameters_to_freeze", None)
+    if not spec:
+        return ()
+    if os.path.exists(spec):
+        with open(spec, encoding="utf-8") as r:
+            return tuple(json.load(r))
+    return tuple(json.loads(spec))
+
+
 def _train_config(args, steps_per_epoch: int) -> TrainConfig:
     from item_alignment_tpu.parallel.mesh import (
         maybe_initialize_distributed_from_args,
@@ -214,7 +229,8 @@ def _train_config(args, steps_per_epoch: int) -> TrainConfig:
             # (finetune_text.py:325-329 divides the same way)
             total_steps=max(steps_per_epoch * args.epochs
                             // max(args.gradient_accumulation_steps, 1), 1),
-            grad_accumulation_steps=args.gradient_accumulation_steps),
+            grad_accumulation_steps=args.gradient_accumulation_steps,
+            freeze_patterns=_freeze_patterns(args)),
     )
 
 
@@ -534,10 +550,10 @@ def cmd_finetune_text(argv: List[str]) -> int:
         with profile_trace(args.profile_dir):
             result = trainer.fit(train_ds, valid_ds)
         _save_epoch_params(trainer, out_dir, args.epochs)
-        if trainer.best_params is not None:
-            from item_alignment_tpu.engine.checkpoint import save_params
-            save_params(os.path.join(out_dir, "best_f1.msgpack"),
-                        trainer.best_params)
+        from item_alignment_tpu.engine.checkpoint import save_params
+        best = trainer.best_params if trainer.best_params is not None \
+            else trainer.state.params
+        save_params(os.path.join(out_dir, "best_f1.msgpack"), best)
         print(json.dumps({"best": result["best"]}))
     if args.do_eval and valid_ds is not None and len(valid_ds) > 0:
         if trainer.state is None:
@@ -678,13 +694,20 @@ def _save_epoch_params(trainer, out_dir: str, epoch: int,
 
 
 def _maybe_restore(trainer, args) -> None:
-    if args.file_state_dict and os.path.exists(args.file_state_dict):
-        from item_alignment_tpu.engine.checkpoint import load_params
+    if not args.file_state_dict:
+        return
+    if not os.path.exists(args.file_state_dict):
+        # an explicitly requested state dict that does not exist must fail
+        # loudly: silently continuing would predict with random weights and
+        # feed garbage scores into the ensemble/submission
+        raise FileNotFoundError(
+            f"--file_state_dict {args.file_state_dict} does not exist")
+    from item_alignment_tpu.engine.checkpoint import load_params
 
-        params = load_params(args.file_state_dict, trainer.state.params)
-        from item_alignment_tpu.parallel.sharding import shard_params
-        trainer.state = trainer.state.replace(
-            params=shard_params(params, trainer.mesh))
+    params = load_params(args.file_state_dict, trainer.state.params)
+    from item_alignment_tpu.parallel.sharding import shard_params
+    trainer.state = trainer.state.replace(
+        params=shard_params(params, trainer.mesh))
 
 
 def cmd_pkgm_pretrain(argv: List[str]) -> int:
@@ -756,12 +779,24 @@ def cmd_ensemble(argv: List[str]) -> int:
     )
 
     def load(spec_json):
+        import glob as _glob
         out = []
         for model_dir, thr, f1 in json.loads(spec_json):
-            rows = read_prediction_file(
-                os.path.join(args.data_dir, "output", model_dir,
-                             args.input_file))
-            out.append((rows, float(thr), float(f1)))
+            base = os.path.join(args.data_dir, "output", model_dir)
+            path = os.path.join(base, args.input_file)
+            if not os.path.exists(path):
+                # members predicted at a different --threshold write
+                # differently named files; accept an unambiguous one rather
+                # than failing (or silently reading a stale default)
+                cands = sorted(_glob.glob(
+                    os.path.join(base, "deepAI_result_threshold=*.jsonl")))
+                if len(cands) == 1:
+                    path = cands[0]
+                else:
+                    raise FileNotFoundError(
+                        f"{path} not found and {len(cands)} candidate "
+                        f"prediction files in {base}: {cands}")
+            out.append((read_prediction_file(path), float(thr), float(f1)))
         return out
 
     preds = load(args.models)
@@ -1054,6 +1089,9 @@ def cmd_finetune_image(argv: List[str]) -> int:
     _common_train_flags(p)
     p.add_argument("--shards", nargs="+", required=True,
                    help="npz shards from write_image_shards")
+    p.add_argument("--valid_shards", nargs="+", default=None,
+                   help="npz shards for the eval split (enables best-F1 "
+                        "tracking under --do_eval)")
     p.add_argument("--image_size", type=int, default=288)
     args = p.parse_args(argv)
 
@@ -1062,28 +1100,32 @@ def cmd_finetune_image(argv: List[str]) -> int:
     from item_alignment_tpu.engine.train import Trainer
     from item_alignment_tpu.models import build_model
 
-    imgs1, imgs2, labels, src_ids, tgt_ids = [], [], [], [], []
-    for shard in read_image_shards(args.shards):
-        pre_transformed = shard["images_1"].dtype != np.uint8
-        for i in range(len(shard["labels"])):
-            if pre_transformed:  # prepare --only_image already normalized
-                imgs1.append(np.asarray(shard["images_1"][i], np.float32))
-                imgs2.append(np.asarray(shard["images_2"][i], np.float32))
-            else:
-                imgs1.append(eval_transform(shard["images_1"][i],
-                                            args.image_size))
-                imgs2.append(eval_transform(shard["images_2"][i],
-                                            args.image_size))
-            labels.append(int(shard["labels"][i]))
-            pid = str(shard["pair_ids"][i])
-            sid, _, tid = pid.partition("|")
-            src_ids.append(sid)
-            tgt_ids.append(tid or sid)
-    ds = ArrayDataset({"images_1": np.stack(imgs1).astype(np.float32),
-                       "images_2": np.stack(imgs2).astype(np.float32),
-                       "labels": np.asarray(labels, np.int32)},
-                      meta={"src_item_id": src_ids,
-                            "tgt_item_id": tgt_ids})
+    def load_shard_ds(shard_paths):
+        imgs1, imgs2, labels, src_ids, tgt_ids = [], [], [], [], []
+        for shard in read_image_shards(shard_paths):
+            pre_transformed = shard["images_1"].dtype != np.uint8
+            for i in range(len(shard["labels"])):
+                if pre_transformed:  # prepare --only_image already normalized
+                    imgs1.append(np.asarray(shard["images_1"][i], np.float32))
+                    imgs2.append(np.asarray(shard["images_2"][i], np.float32))
+                else:
+                    imgs1.append(eval_transform(shard["images_1"][i],
+                                                args.image_size))
+                    imgs2.append(eval_transform(shard["images_2"][i],
+                                                args.image_size))
+                labels.append(int(shard["labels"][i]))
+                pid = str(shard["pair_ids"][i])
+                sid, _, tid = pid.partition("|")
+                src_ids.append(sid)
+                tgt_ids.append(tid or sid)
+        return ArrayDataset({"images_1": np.stack(imgs1).astype(np.float32),
+                             "images_2": np.stack(imgs2).astype(np.float32),
+                             "labels": np.asarray(labels, np.int32)},
+                            meta={"src_item_id": src_ids,
+                                  "tgt_item_id": tgt_ids})
+
+    ds = load_shard_ds(args.shards)
+    valid_ds = load_shard_ds(args.valid_shards) if args.valid_shards else None
     cfg = _model_config(args, image_model_name=args.model_name,
                         image_size=args.image_size,
                         interaction_type="two_tower")
@@ -1097,8 +1139,15 @@ def cmd_finetune_image(argv: List[str]) -> int:
         if args.pretrained_model_path:
             _load_timm_pretrained(trainer, args)
         _maybe_restore(trainer, args)
-        result = trainer.fit(ds, ds if args.do_eval else None)
+        result = trainer.fit(ds, (valid_ds or ds) if args.do_eval else None)
         _save_epoch_params(trainer, out_dir, args.epochs, kind="image")
+        # predict.sh restores best_f1.msgpack: save the best-eval params, or
+        # the final params when training ran without eval (the reference
+        # predicts from the last epoch checkpoint, finetune_image.py:390)
+        from item_alignment_tpu.engine.checkpoint import save_params
+        best = trainer.best_params if trainer.best_params is not None \
+            else trainer.state.params
+        save_params(os.path.join(out_dir, "best_f1.msgpack"), best)
         print(json.dumps({"best": result["best"]}))
     if args.do_pred:
         if trainer.state is None:
@@ -1174,10 +1223,10 @@ def cmd_finetune_multimodal(argv: List[str]) -> int:
         if args.interaction_type == "two_tower":
             return rows_to_image_two_tower_dataset(
                 rows, tok, cfg.max_seq_len, cfg.max_seq_len_pv,
-                args.image_hidden_size)
+                args.image_hidden_size, ensemble=cfg.ensemble)
         return rows_to_image_one_tower_dataset(
             rows, tok, cfg.max_seq_len, cfg.max_seq_len_pv,
-            args.image_hidden_size)
+            args.image_hidden_size, ensemble=cfg.ensemble)
 
     train_ds = build_ds(args.train_file)
     valid_ds = build_ds(args.valid_file)
@@ -1209,10 +1258,10 @@ def cmd_finetune_multimodal(argv: List[str]) -> int:
         _maybe_restore(trainer, args)
         result = trainer.fit(train_ds, valid_ds)
         _save_epoch_params(trainer, out_dir, args.epochs, kind="multimodal")
-        if trainer.best_params is not None:
-            from item_alignment_tpu.engine.checkpoint import save_params
-            save_params(os.path.join(out_dir, "best_f1.msgpack"),
-                        trainer.best_params)
+        from item_alignment_tpu.engine.checkpoint import save_params
+        best = trainer.best_params if trainer.best_params is not None \
+            else trainer.state.params
+        save_params(os.path.join(out_dir, "best_f1.msgpack"), best)
         print(json.dumps({"best": result["best"]}))
     if args.do_eval and valid_ds is not None and len(valid_ds) > 0:
         if trainer.state is None:

@@ -48,6 +48,7 @@ class ModelConfig:
     pad_token_id: int = 0
     classifier_dropout: Optional[float] = None
     num_labels: int = 2
+    cate_size: Optional[int] = None  # category-embedding hook (base.py:216)
 
     # --- pair-classification knobs (reference flag matrix) ---
     interaction_type: str = "one_tower"       # one_tower | two_tower
@@ -260,6 +261,13 @@ class OptimizerConfig:
     total_steps: int = 10000
     grad_accumulation_steps: int = 1
     max_grad_norm: Optional[float] = None
+    # parameter freezing (reference --parameters_to_freeze,
+    # finetune_text.py:257-272): substring patterns matched against the
+    # '/'-joined flax param path; matching leaves receive zero updates
+    freeze_patterns: Tuple[str, ...] = ()
+    # single-pass AdamW update (engine/optim.py fused_adamw); False falls
+    # back to optax.adamw (same math, three tree walks)
+    fused: bool = True
 
 
 @dataclass(frozen=True)

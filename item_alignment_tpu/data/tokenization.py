@@ -229,18 +229,35 @@ def encode_pkgm_one_tower(tok, kg_ent, kg_rel, row, max_seq_len: int,
 
 
 # ------------------------------------------------------------ image splice
-def encode_image_one_tower(tok, src_text: str, tgt_text: str, max_length: int
-                           ) -> Dict[str, list]:
-    """roberta_image ``ensemble=="begin"`` layout (data.py:623-700):
-    ``[CLS] [IMG] src [SEP] [IMG] tgt [SEP]``; the tgt [IMG] index is
-    recorded per sample for the embedding splice."""
-    src = f"{IMG_TOKEN} {src_text}"
-    tgt = f"{IMG_TOKEN} {tgt_text}"
-    enc = tok(text=src, text_pair=tgt, max_length=2 * max_length,
+def _image_item_text(title: str, pvs: str, max_seq_len, max_seq_len_pv, tok):
+    """Reference text gating (data.py:637-648 / 697-708): title-only when
+    max_seq_len_pv is None, raw pvs when max_seq_len is None, else
+    ``title [SEP] jieba(pvs)``.  Returns (text, max_length)."""
+    if max_seq_len is None:
+        return pvs, max_seq_len_pv
+    if max_seq_len_pv is None:
+        return title, max_seq_len
+    return (build_item_text(title, pvs, tok.sep_token),
+            max_seq_len + max_seq_len_pv)
+
+
+def encode_image_one_tower(tok, src_text: str, tgt_text: str, max_length: int,
+                           ensemble: str = "begin") -> Dict[str, list]:
+    """roberta_image one-tower layout (data.py:650-677): with
+    ``ensemble=="begin"`` each text is prefixed ``[IMG] [SEP]`` ->
+    ``[CLS] [IMG] [SEP] src [SEP] [IMG] [SEP] tgt [SEP]``; the tgt [IMG]
+    index is recorded per sample for the embedding splice.  Other ensemble
+    modes keep the plain pair layout (image embeds join at the head)."""
+    if ensemble == "begin":
+        src_text = " ".join((IMG_TOKEN, tok.sep_token, src_text))
+        tgt_text = " ".join((IMG_TOKEN, tok.sep_token, tgt_text))
+    enc = tok(text=src_text, text_pair=tgt_text, max_length=2 * max_length,
               padding="max_length", truncation="longest_first")
     ids = enc["input_ids"]
-    img_positions = [i for i, t in enumerate(ids) if t == IMG_TOKEN_ID]
-    image_index = img_positions[1] if len(img_positions) > 1 else 1
+    image_index = 0
+    if ensemble == "begin":
+        img_positions = [i for i, t in enumerate(ids) if t == IMG_TOKEN_ID]
+        image_index = img_positions[1] if len(img_positions) > 1 else 1
     return {"input_ids": ids, "token_type_ids": enc["token_type_ids"],
             "attention_mask": enc["attention_mask"],
             "image_indices": image_index}
@@ -346,11 +363,13 @@ def rows_to_two_tower_dataset(
 def rows_to_image_one_tower_dataset(
     rows: Sequence, tok, max_seq_len: Optional[int],
     max_seq_len_pv: Optional[int], image_hidden_size: int = 3072,
+    ensemble: str = "begin",
 ) -> ArrayDataset:
     """9-column TSV rows with img-emb strings (label, src_id, src_title,
     src_pvs, src_img_emb, tgt_id, tgt_title, tgt_pvs, tgt_img_emb) ->
-    roberta_image ``ensemble=="begin"`` arrays (RobertaImageOneTowerDataset,
-    data.py:623-753)."""
+    roberta_image one-tower arrays (RobertaImageOneTowerDataset,
+    data.py:623-680; [IMG] prefix gated on ``ensemble=="begin"``,
+    title-only/pvs-only text when a seq len is None)."""
     feats: Dict[str, list] = {"input_ids": [], "token_type_ids": [],
                               "attention_mask": [], "image_indices": [],
                               "labels": []}
@@ -359,10 +378,12 @@ def rows_to_image_one_tower_dataset(
     for row in rows:
         (label, src_item_id, src_title, src_pvs, src_emb,
          tgt_item_id, tgt_title, tgt_pvs, tgt_emb) = row
-        src_text = build_item_text(src_title, src_pvs, tok.sep_token)
-        tgt_text = build_item_text(tgt_title, tgt_pvs, tok.sep_token)
-        max_length = (max_seq_len or 0) + (max_seq_len_pv or 0)
-        enc = encode_image_one_tower(tok, src_text, tgt_text, max_length)
+        src_text, max_length = _image_item_text(
+            src_title, src_pvs, max_seq_len, max_seq_len_pv, tok)
+        tgt_text, _ = _image_item_text(
+            tgt_title, tgt_pvs, max_seq_len, max_seq_len_pv, tok)
+        enc = encode_image_one_tower(tok, src_text, tgt_text, max_length,
+                                     ensemble)
         for k in ("input_ids", "token_type_ids", "attention_mask",
                   "image_indices"):
             feats[k].append(enc[k])
@@ -387,12 +408,14 @@ def rows_to_image_one_tower_dataset(
 def rows_to_image_two_tower_dataset(
     rows: Sequence, tok, max_seq_len: Optional[int],
     max_seq_len_pv: Optional[int], image_hidden_size: int = 3072,
+    ensemble: str = "begin",
 ) -> ArrayDataset:
     """9-column TSV rows -> per-item roberta_image two-tower arrays
     (RobertaImageTwoTowerDataset, data.py:682-753): each item is encoded
-    separately as ``[CLS] [IMG] [SEP] title [SEP] pvs`` (ensemble begin:
-    the [IMG] token sits at position 1, where the embedding splice puts
-    the projected image vector)."""
+    separately; with ``ensemble=="begin"`` as ``[CLS] [IMG] [SEP] title
+    [SEP] pvs`` (the [IMG] token sits at position 1, where the embedding
+    splice puts the projected image vector), plain text otherwise;
+    title-only/pvs-only text when a seq len is None."""
     feats: Dict[str, list] = {f"{k}_{i}": [] for k in
                               ("input_ids", "attention_mask",
                                "token_type_ids")
@@ -400,7 +423,6 @@ def rows_to_image_two_tower_dataset(
     feats["labels"] = []
     img_feats = {"image_embeds_1": [], "image_embeds_2": []}
     meta = {"src_item_id": [], "tgt_item_id": []}
-    max_length = (max_seq_len or 0) + (max_seq_len_pv or 0)
 
     def parse_emb(s):
         vals = np.array([float(x) for x in s.split(",") if x],
@@ -415,8 +437,10 @@ def rows_to_image_two_tower_dataset(
         for i, (title, pvs, emb) in enumerate(
                 ((src_title, src_pvs, src_emb),
                  (tgt_title, tgt_pvs, tgt_emb)), start=1):
-            text = " ".join((IMG_TOKEN, tok.sep_token,
-                             build_item_text(title, pvs, tok.sep_token)))
+            text, max_length = _image_item_text(
+                title, pvs, max_seq_len, max_seq_len_pv, tok)
+            if ensemble == "begin":
+                text = " ".join((IMG_TOKEN, tok.sep_token, text))
             enc = tok(text=text, max_length=max_length,
                       padding="max_length", truncation="longest_first")
             feats[f"input_ids_{i}"].append(enc["input_ids"])

@@ -310,19 +310,25 @@ class Trainer:
     # -------------------------------------------------- checkpoint/resume
     def _ckpt_tree(self, epoch: int, best_f1: float, best_epoch: int,
                    best_threshold: float, stale_evals: int) -> Dict[str, Any]:
-        return {
+        tree = {
             "params": self.state.params,
             "opt_state": self.state.opt_state,
             "step": np.asarray(int(self.state.step), np.int64),
             "dropout_rng": np.asarray(self.state.dropout_rng),
-            "meta": {
-                "epoch": np.asarray(epoch, np.int64),
-                "best_f1": np.asarray(best_f1, np.float64),
-                "best_epoch": np.asarray(best_epoch, np.int64),
-                "best_threshold": np.asarray(best_threshold, np.float64),
-                "stale_evals": np.asarray(stale_evals, np.int64),
-            },
         }
+        if self.state.deltas is not None:
+            # adversarial (FREE/PGD/MIX) embedding-noise state: without it a
+            # resumed run restarts from zeroed deltas and diverges from the
+            # uninterrupted trajectory
+            tree["deltas"] = self.state.deltas
+        tree["meta"] = {
+            "epoch": np.asarray(epoch, np.int64),
+            "best_f1": np.asarray(best_f1, np.float64),
+            "best_epoch": np.asarray(best_epoch, np.int64),
+            "best_threshold": np.asarray(best_threshold, np.float64),
+            "stale_evals": np.asarray(stale_evals, np.int64),
+        }
+        return tree
 
     def save_checkpoint(self, manager, epoch: int, best_f1: float = 0.0,
                         best_epoch: int = -1, best_threshold: float = 0.5,
@@ -346,6 +352,8 @@ class Trainer:
             params=tree["params"], opt_state=tree["opt_state"],
             step=jnp.asarray(int(tree["step"]), jnp.int32),
             dropout_rng=jnp.asarray(tree["dropout_rng"]))
+        if "deltas" in tree:
+            self.state = self.state.replace(deltas=tree["deltas"])
         self.state = jax.device_put(self.state, self._state_shardings)
         meta = {k: v.item() if hasattr(v, "item") else v
                 for k, v in tree["meta"].items()}

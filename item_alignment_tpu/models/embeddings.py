@@ -67,6 +67,7 @@ class RobertaEmbeddings(nn.Module):
         input_ids: jax.Array,
         token_type_ids: Optional[jax.Array] = None,
         position_ids: Optional[jax.Array] = None,
+        cate_ids: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
         cfg = self.config
@@ -76,8 +77,19 @@ class RobertaEmbeddings(nn.Module):
             token_type_ids = jnp.zeros_like(input_ids)
         we = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="word_embeddings",
                       embedding_init=nn.initializers.normal(cfg.initializer_range))
+        embeds = we(input_ids)
+        if cate_ids is not None:
+            # category-embedding hook (reference base.py:274-276; table
+            # commented out upstream at base.py:216 — functional here when
+            # config.cate_size is set and the dataset supplies cate_ids)
+            assert cfg.cate_size, "cate_ids passed but config.cate_size unset"
+            ce = nn.Embed(cfg.cate_size, cfg.hidden_size,
+                          name="cate_embeddings",
+                          embedding_init=nn.initializers.normal(
+                              cfg.initializer_range))
+            embeds = embeds + ce(cate_ids)
         return EmbedPostprocess(cfg, name="post")(
-            we(input_ids), token_type_ids, position_ids, deterministic)
+            embeds, token_type_ids, position_ids, deterministic)
 
 
 class PKGMEmbeddings(nn.Module):

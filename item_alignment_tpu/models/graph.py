@@ -59,17 +59,18 @@ class _GCN2ScanBody(nn.Module):
 
     @nn.compact
     def __call__(self, carry, beta):
-        x, x0, edge_index, edge_weight = carry
+        x, x0, edge_index, edge_weight, edge_transpose = carry
         cfg = self.config
         x = nn.Dropout(cfg.hidden_dropout_prob)(
             x, deterministic=self.deterministic)
         h = spmm(edge_index, edge_weight, x, x.shape[0],
                  edge_chunk=cfg.gcn_edge_chunk,
-                 sorted_by_dst=cfg.gcn_sorted_edges)
+                 sorted_by_dst=cfg.gcn_sorted_edges,
+                 transpose=edge_transpose)
         support = (1.0 - cfg.gcn_alpha) * h + cfg.gcn_alpha * x0
         w = nn.Dense(cfg.gcn_hidden, use_bias=False, name="weight")(support)
         x = jax.nn.relu((1.0 - beta) * support + beta * w)
-        return (x, x0, edge_index, edge_weight), None
+        return (x, x0, edge_index, edge_weight, edge_transpose), None
 
 
 class GCNII(nn.Module):
@@ -90,7 +91,7 @@ class GCNII(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 in_axes=0, out_axes=0, length=cfg.gcn_layers)
             (x, *_), _ = scanned(cfg, deterministic, name="conv")(
-                (x, x0, edge_index, edge_weight),
+                (x, x0, edge_index, edge_weight, edge_transpose),
                 jnp.asarray(betas, jnp.float32))
         else:
             for layer in range(cfg.gcn_layers):

@@ -56,10 +56,10 @@ class RobertaBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
-                 position_ids=None, deterministic: bool = True):
+                 position_ids=None, cate_ids=None, deterministic: bool = True):
         cfg = self.config
         hidden = RobertaEmbeddings(cfg, name="embeddings")(
-            input_ids, token_type_ids, position_ids, deterministic)
+            input_ids, token_type_ids, position_ids, cate_ids, deterministic)
         if cfg.dtype == "bfloat16":
             hidden = hidden.astype(jnp.bfloat16)
         states = TransformerEncoder(cfg, name="encoder")(
@@ -116,11 +116,12 @@ class RobertaOneTower(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
-                 position_ids=None, labels=None, pair_spans=None,
-                 deterministic: bool = True):
+                 position_ids=None, cate_ids=None, labels=None,
+                 pair_spans=None, deterministic: bool = True):
         cfg = self.config
         states = RobertaBackbone(cfg, name="roberta")(
-            input_ids, attention_mask, token_type_ids, position_ids, deterministic)
+            input_ids, attention_mask, token_type_ids, position_ids,
+            cate_ids, deterministic)
         return _OneTowerHead(cfg, tgt_cls_position=cfg.item_seq_len,
                              name="head")(states, labels, pair_spans,
                                           deterministic=deterministic)
@@ -134,13 +135,14 @@ class RobertaTwoTower(nn.Module):
     @nn.compact
     def __call__(self, input_ids_1, input_ids_2, attention_mask_1=None,
                  attention_mask_2=None, token_type_ids_1=None,
-                 token_type_ids_2=None, labels=None, deterministic: bool = True):
+                 token_type_ids_2=None, cate_ids_1=None, cate_ids_2=None,
+                 labels=None, deterministic: bool = True):
         cfg = self.config
         backbone = RobertaBackbone(cfg, name="roberta")
         out_1 = backbone(input_ids_1, attention_mask_1, token_type_ids_1,
-                         deterministic=deterministic)[-1]
+                         cate_ids=cate_ids_1, deterministic=deterministic)[-1]
         out_2 = backbone(input_ids_2, attention_mask_2, token_type_ids_2,
-                         deterministic=deterministic)[-1]
+                         cate_ids=cate_ids_2, deterministic=deterministic)[-1]
         src_embeds, tgt_embeds, logits, full_probs = TwoTowerClassificationHead(
             dropout_rate=cfg.hidden_dropout_prob, num_labels=cfg.num_labels,
             name="classifier")(out_1[:, 0, :], out_2[:, 0, :], deterministic)

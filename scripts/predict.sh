@@ -30,10 +30,13 @@ $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
   --threshold 0.4 --do_pred \
   --file_state_dict "$OUT/pkgm_large-v3.4-one_tower-cls-NA-ce/best_f1.msgpack" \
   ${EXTRA_FLAGS:-}
+# note: every member predicts at --threshold 0.4 so the prediction FILES
+# all match the ensemble's --input_file; the per-member decision thresholds
+# (0.6 textcnn, 0.5 nfnet, ...) live in the ensemble spec below
 $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
   --vocab_path "$VOCAB" --config_file configs/textcnn.json \
   --model_name textcnn --data_version v3.4 --interaction_type two_tower \
-  --threshold 0.6 --do_pred \
+  --threshold 0.4 --do_pred \
   --file_state_dict "$OUT/textcnn-v3.4-two_tower-cls-NA-ce/best_f1.msgpack" \
   ${EXTRA_FLAGS:-}
 $IA finetune-multimodal --data_dir "$DATA_DIR/processed_image" \
@@ -46,7 +49,7 @@ $IA finetune-multimodal --data_dir "$DATA_DIR/processed_image" \
 $IA finetune-image --data_dir "$DATA_DIR" --output_dir "$OUT" \
   --shards "$DATA_DIR"/image_shards/test_feat_*.npz \
   --model_name eca_nfnet_l0 --data_version v6 --image_size 800 \
-  --interaction_type two_tower --threshold 0.5 --do_pred \
+  --interaction_type two_tower --threshold 0.4 --do_pred \
   --file_state_dict "$OUT/eca_nfnet_l0-v6-two_tower-cls-NA-ce/best_f1.msgpack" \
   ${EXTRA_FLAGS:-}
 # legacy bert: pred-bert writes the submission jsonl into the ensemble dir

@@ -84,11 +84,16 @@ $IA finetune-multimodal --data_dir "$DATA_DIR/processed_image" \
 $IA prepare --data_dir "$DATA_DIR/raw" \
   --output_dir "$DATA_DIR/image_shards" --only_image \
   --dtypes train,valid --image_size 800
+# valid shards exist when raw/item_valid_pair.jsonl does; eval on them
+# when present so best_f1.msgpack carries the best (not last) params
+VALID_SHARDS=$(ls "$DATA_DIR"/image_shards/valid_feat_*.npz 2>/dev/null || true)
 $IA finetune-image --data_dir "$DATA_DIR" --output_dir "$OUT" \
   --shards "$DATA_DIR"/image_shards/train_feat_*.npz \
+  ${VALID_SHARDS:+--valid_shards $VALID_SHARDS} \
   --pretrained_model_path "${TIMM_NFNET:-$PRETRAINED/eca_nfnet_l0.bin}" \
   --model_name eca_nfnet_l0 --data_version v6 --image_size 800 \
-  --train_batch_size 16 --learning_rate 1e-4 --epochs 10 --bf16 --do_train
+  --train_batch_size 16 --learning_rate 1e-4 --epochs 10 --bf16 \
+  --do_train --do_eval
 
 # 8. legacy 5-field bert with MIX adversarial noise
 $IA finetune-bert --train_file "$DATA_DIR/item-align-train.json" \

@@ -109,3 +109,35 @@ def test_eval_every_steps_mid_epoch():
     mid = result["history"][0].get("mid_evals")
     assert mid and [m["step"] for m in mid] == [2, 4]
     assert all(0.0 <= m["best_f1"] <= 1.0 for m in mid)
+
+
+def test_parameter_freezing():
+    """--parameters_to_freeze parity (finetune_text.py:257-272): frozen
+    leaves are bitwise unchanged after training steps; others move."""
+    cfg = ModelConfig.textcnn(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+        vocab_size=50, max_position_embeddings=64, num_filters=8,
+        hidden_dropout_prob=0.0)
+    tcfg = TrainConfig(
+        train_batch_size=16, eval_batch_size=16, num_epochs=1, log_steps=100,
+        mesh=MeshConfig(data=-1),
+        optimizer=OptimizerConfig(learning_rate=2e-3, total_steps=4,
+                                  freeze_patterns=("embed",)))
+    trainer = Trainer(TextCNNTwoTower(cfg), tcfg)
+    ds = make_pair_dataset()
+    trainer.setup(next(ds.batches(16))[0])
+    before = jax.tree.map(np.asarray, trainer.state.params)
+    trainer.fit(ds)
+
+    after = jax.tree.map(np.asarray, trainer.state.params)
+    flat_b = jax.tree_util.tree_flatten_with_path(before)[0]
+    flat_a = jax.tree_util.tree_flatten_with_path(after)[0]
+    n_frozen = n_moved = 0
+    for (path_b, b), (_, a) in zip(flat_b, flat_a):
+        name = "/".join(str(getattr(k, "key", k)) for k in path_b)
+        if "embed" in name:
+            np.testing.assert_array_equal(b, a, err_msg=f"{name} moved")
+            n_frozen += 1
+        elif not np.array_equal(b, a):
+            n_moved += 1
+    assert n_frozen > 0 and n_moved > 0

@@ -152,6 +152,83 @@ def test_pkgm_two_tower_layout_matches_reference(ref_data, tokenizer):
                                       ref["position_ids"])
 
 
+@pytest.fixture()
+def img_tokenizer(tokenizer):
+    """The image pipelines run with wordpiece-only tokenization
+    (load_text_tokenizer sets do_basic_tokenize=False) so ``[unused99]``
+    survives as one token; mirror that for the oracle comparison."""
+    old = tokenizer.do_basic_tokenize
+    tokenizer.do_basic_tokenize = False
+    yield tokenizer
+    tokenizer.do_basic_tokenize = old
+
+
+IMG_ROWS = [
+    ("1", "101", "红色咖啡机", "品牌:abc;容量:12", "0.5,0.25",
+     "201", "红色咖啡机", "品牌:abc;容量:15", "0.75,0.125"),
+    ("0", "102", "蓝色手表", "品牌:xyz;型号:a1", "1.0,2.0",
+     "202", "红色电脑", "品牌:abc;规格:9", "3.0,4.0"),
+]
+
+
+@pytest.mark.parametrize("ensemble", ["begin", "end"])
+@pytest.mark.parametrize("lens", [(12, 16), (12, None), (None, 16)])
+def test_image_one_tower_layout_matches_reference(ref_data, img_tokenizer,
+                                                  ensemble, lens):
+    """RobertaImageOneTowerDataset (data.py:623-680): [IMG] [SEP] prefix only
+    for ensemble=='begin'; title-only / pvs-only when a seq len is None."""
+    from item_alignment_tpu.data.tokenization import (
+        rows_to_image_one_tower_dataset,
+    )
+
+    msl, mspv = lens
+    ref_ds = ref_data.RobertaImageOneTowerDataset(
+        IMG_ROWS, img_tokenizer, max_seq_len=msl, ensemble=ensemble,
+        max_seq_len_pv=mspv)
+    ours = rows_to_image_one_tower_dataset(IMG_ROWS, img_tokenizer, msl, mspv,
+                                           image_hidden_size=4,
+                                           ensemble=ensemble)
+    for i in range(len(IMG_ROWS)):
+        ref = ref_ds[i]
+        for key in ("input_ids", "token_type_ids", "attention_mask"):
+            np.testing.assert_array_equal(
+                ours.arrays[key][i], ref[key],
+                err_msg=f"row {i} {key} ens={ensemble} lens={lens}")
+        if ensemble == "begin":
+            assert int(ours.arrays["image_indices"][i]) == ref["image_index"]
+        np.testing.assert_allclose(ours.arrays["src_image_embeds"][i][:2],
+                                   ref["src_img_emb"])
+
+
+@pytest.mark.parametrize("ensemble", ["begin", "end"])
+@pytest.mark.parametrize("lens", [(12, 16), (12, None), (None, 16)])
+def test_image_two_tower_layout_matches_reference(ref_data, img_tokenizer,
+                                                  ensemble, lens):
+    """RobertaImageTwoTowerDataset (data.py:682-753)."""
+    from item_alignment_tpu.data.tokenization import (
+        rows_to_image_two_tower_dataset,
+    )
+
+    msl, mspv = lens
+    ref_ds = ref_data.RobertaImageTwoTowerDataset(
+        IMG_ROWS, img_tokenizer, max_seq_len=msl, ensemble=ensemble,
+        max_seq_len_pv=mspv)
+    ours = rows_to_image_two_tower_dataset(IMG_ROWS, img_tokenizer, msl, mspv,
+                                           image_hidden_size=4,
+                                           ensemble=ensemble)
+    for i in range(len(IMG_ROWS)):
+        ref = ref_ds[i]
+        for side in (1, 2):
+            for key in ("input_ids", "token_type_ids", "attention_mask"):
+                np.testing.assert_array_equal(
+                    ours.arrays[f"{key}_{side}"][i], ref[f"{key}_{side}"],
+                    err_msg=f"row {i} {key}_{side} ens={ensemble} lens={lens}")
+        np.testing.assert_allclose(ours.arrays["image_embeds_1"][i][:2],
+                                   ref["src_img_emb"])
+        np.testing.assert_allclose(ours.arrays["image_embeds_2"][i][:2],
+                                   ref["tgt_img_emb"])
+
+
 def test_two_tower_title_pv_text_construction(ref_data, tokenizer):
     """Two-tower per-item text must be `title [SEP] jieba(pvs)` tokenized to
     max_len (RobertaTwoTowerDataset, data.py:786-832)."""

@@ -164,3 +164,30 @@ def test_textcnn_two_tower_vec_sim_and_cls():
         params = model.init({"params": RNG}, ids, ids, labels=labels)
         out = model.apply(params, ids, ids, labels=labels)
         assert np.isfinite(float(out.loss)), method
+
+
+def test_cate_ids_hook():
+    """cate_ids hook (reference text.py:1143/1237, base.py:274-276): a
+    category embedding is added when cate_ids are passed and changes the
+    output; omitting cate_ids works on the same module."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from item_alignment_tpu.config import ModelConfig
+    from item_alignment_tpu.models.text import RobertaOneTower
+
+    cfg = ModelConfig(model_name="tiny", hidden_size=32, num_hidden_layers=1,
+                      num_attention_heads=4, intermediate_size=64,
+                      vocab_size=60, max_position_embeddings=64,
+                      max_seq_len=4, max_seq_len_pv=4, cate_size=7,
+                      hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0)
+    model = RobertaOneTower(cfg)
+    ids = jnp.asarray(np.random.RandomState(0).randint(1, 60, (2, 16)))
+    cate = jnp.asarray([[2] * 16, [5] * 16])
+    params = model.init(jax.random.PRNGKey(0), ids, cate_ids=cate)["params"]
+    out_with = model.apply({"params": params}, ids, cate_ids=cate)
+    out_wo = model.apply({"params": params}, ids)
+    assert "cate_embeddings" in params["roberta"]["embeddings"]
+    assert not np.allclose(np.asarray(out_with.logits),
+                           np.asarray(out_wo.logits))
