@@ -36,7 +36,21 @@ def main():
     p.add_argument("--edge_chunk", type=int, default=None,
                    help="scan the edge list in chunks (needed for --train "
                         "at reference scale; try 262144)")
+    p.add_argument("--compilation_cache_dir", default=None,
+                   help="persistent XLA compilation cache (VERDICT r2 #7: "
+                        "a completed compile is reused across runs, so one "
+                        "successful compile unblocks all later runs even "
+                        "through the remote-compile relay)")
+    p.add_argument("--compile_only", action="store_true",
+                   help="AOT-lower + compile the train step, print compile "
+                        "seconds, and exit without running")
     args = p.parse_args()
+
+    if args.compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compilation_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from item_alignment_tpu.config import ModelConfig
     from item_alignment_tpu.models.graph import GCNII, GCNTwoTower
@@ -95,13 +109,24 @@ def main():
     tx = optax.adam(1e-2)
     opt = tx.init(params)
 
-    @jax.jit
-    def step(p, o):
+    def step_fn(p, o):
         loss, g = jax.value_and_grad(lambda p: model.apply(
             p, feats, eij, ewj, src, tgt, labels=labels,
             edge_transpose=trans).loss)(p)
         u, o = tx.update(g, o, p)
         return optax.apply_updates(p, u), o, loss
+
+    t0 = time.perf_counter()
+    lowered = jax.jit(step_fn).lower(params, opt)
+    t_lower = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    step = lowered.compile()
+    t_compile = time.perf_counter() - t0
+    print(json.dumps({"phase": "compile", "lower_s": round(t_lower, 1),
+                      "compile_s": round(t_compile, 1),
+                      "cache_dir": args.compilation_cache_dir}))
+    if args.compile_only:
+        return
 
     p_, o_, l = step(params, opt)
     float(l)

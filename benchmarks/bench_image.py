@@ -49,28 +49,46 @@ def main():
         {"params": rng}, imgs[0, :, :, :, :], imgs[0, :, :, :, :],
         labels=labels[0])
 
+    v5e_peak = 197e12  # bf16 TFLOP/s
+
+    def compiled_flops(compiled):
+        """XLA's own FLOP count for the compiled executable (covers convs
+        exactly — no hand formula for grouped/strided convs needed)."""
+        try:
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0)) or None
+        except Exception:
+            return None
+
     if not args.train:
         params = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, params)
 
-        @jax.jit
         def forward_n(p, imgs):
             def body(c, x):
                 return c + jnp.sum(model.apply(p, x, x).probs), None
             total, _ = jax.lax.scan(body, jnp.float32(0), imgs)
             return total
 
-        np.asarray(forward_n(params, imgs))
+        fwd = jax.jit(forward_n).lower(params, imgs).compile()
+        flops = compiled_flops(fwd)
+        np.asarray(fwd(params, imgs))
         times = []
         for _ in range(2):
             t0 = time.perf_counter()
-            np.asarray(forward_n(params, imgs))
+            np.asarray(fwd(params, imgs))
             times.append(time.perf_counter() - t0)
-        print(json.dumps({
+        out = {
             "metric": f"{args.model}_two_tower_forward",
             "image_size": size, "batch_size": B,
-            "pairs_per_sec": round(B * n_iters / min(times), 1)}))
+            "pairs_per_sec": round(B * n_iters / min(times), 1)}
+        if flops:
+            out["tflops_total"] = round(flops / 1e12, 2)
+            out["mfu"] = round(flops / min(times) / v5e_peak, 3)
+        print(json.dumps(out))
         return
 
     import optax
@@ -78,7 +96,6 @@ def main():
     tx = optax.adamw(1e-4)
     opt = tx.init(params)
 
-    @jax.jit
     def train_n(params, opt, imgs, labels):
         def body(carry, xl):
             p, o = carry
@@ -98,17 +115,23 @@ def main():
                                              (imgs, labels))
         return losses[-1]
 
-    np.asarray(train_n(params, opt, imgs, labels))
+    step = jax.jit(train_n).lower(params, opt, imgs, labels).compile()
+    flops = compiled_flops(step)
+    np.asarray(step(params, opt, imgs, labels))
     times = []
     for _ in range(2):
         t0 = time.perf_counter()
-        np.asarray(train_n(params, opt, imgs, labels))
+        np.asarray(step(params, opt, imgs, labels))
         times.append(time.perf_counter() - t0)
-    print(json.dumps({
+    out = {
         "metric": f"{args.model}_two_tower_train",
         "image_size": size, "batch_size": B,
         "pairs_per_sec": round(B * n_iters / min(times), 1),
-        "ms_per_step": round(min(times) / n_iters * 1000, 1)}))
+        "ms_per_step": round(min(times) / n_iters * 1000, 1)}
+    if flops:
+        out["tflops_total"] = round(flops / 1e12, 2)
+        out["mfu"] = round(flops / min(times) / v5e_peak, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -75,14 +75,18 @@ def main():
             body, (params, opt_state), (ids, masks, labels))
         return params, opt_state, losses[-1]
 
+    def sync(out):
+        # host-copy one leaf: block_until_ready alone does not fence the
+        # remote-backend tunnel
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+
     def timed(fn, *fn_args):
         out = fn(*fn_args)  # compile
-        jax.block_until_ready(out)
+        sync(out)
         times = []
         for _ in range(2):
             t0 = time.perf_counter()
-            out = fn(*fn_args)
-            jax.block_until_ready(out)
+            sync(fn(*fn_args))
             times.append(time.perf_counter() - t0)
         return min(times), out
 

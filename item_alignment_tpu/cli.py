@@ -41,9 +41,18 @@ from item_alignment_tpu.utils import logger
 
 
 def run_dir_name(args) -> str:
+    """Reference run-dir naming (finetune_text.py:373): the reference's
+    ``classification_method`` string embeds the cls-layer selection (e.g.
+    ``cls_1,2,3,4_cat``); our CLI splits that into --cls_layers/--cls_pool,
+    so recompose it here — otherwise the cls-layers variant overwrites the
+    flagship's run dir."""
     sim = args.similarity_measure or "NA"
+    cls = args.classification_method
+    layers = getattr(args, "cls_layers", "1")
+    if cls == "cls" and layers and layers != "1":
+        cls = f"cls_{layers}_{getattr(args, 'cls_pool', 'cat')}"
     return (f"{args.model_name}-{args.data_version}-{args.interaction_type}-"
-            f"{args.classification_method}-{sim}-{args.loss_type}")
+            f"{cls}-{sim}-{args.loss_type}")
 
 
 def _common_train_flags(p: argparse.ArgumentParser) -> None:
@@ -275,6 +284,13 @@ def cmd_prepare(argv: List[str]) -> int:
                    help="precomputed detector boxes jsonl for "
                         "--object_detection (item_id -> [x1,y1,x2,y2,cls,conf])")
     p.add_argument("--min_crop_ratio", type=float, default=0.1)
+    p.add_argument("--detector", default="saliency",
+                   choices=["saliency", "none"],
+                   help="box source when no --boxes_file: 'saliency' = the "
+                        "offline background-segmentation fallback detector "
+                        "(data/images.py propose_box_saliency, standing in "
+                        "for the reference's torch.hub YOLOv5); 'none' "
+                        "copies images uncropped")
     p.add_argument("--images_dir", default=None,
                    help="defaults to <data_dir>/item_images[_cropped]")
     p.add_argument("--shard_size", type=int, default=1024)
@@ -443,6 +459,7 @@ def _prepare_object_detection(args) -> int:
     from item_alignment_tpu.data.images import crop_images_with_boxes
 
     boxes = {}
+    detector = None
     if args.boxes_file:
         with open(args.boxes_file, encoding="utf-8") as r:
             text = r.read()
@@ -453,13 +470,17 @@ def _prepare_object_detection(args) -> int:
                 if line.strip():
                     d = json.loads(line)
                     boxes[d["item_id"]] = d["boxes"]
+    elif args.detector == "saliency":
+        from item_alignment_tpu.data.images import propose_box_saliency
+        detector = propose_box_saliency
+        logger.info("no --boxes_file: background-saliency fallback detector")
     else:
         logger.warning("no --boxes_file: every image is copied uncropped")
     images_dir = args.images_dir or os.path.join(args.data_dir, "item_images")
     out_dir = os.path.join(args.output_dir, "item_images_cropped")
     stats = crop_images_with_boxes(
         os.path.join(args.data_dir, "item_info.jsonl"), images_dir, out_dir,
-        boxes, args.min_crop_ratio)
+        boxes, args.min_crop_ratio, detector=detector)
     print(json.dumps({"output_dir": out_dir, **stats}))
     return 0
 
@@ -710,6 +731,15 @@ def _maybe_restore(trainer, args) -> None:
         params=shard_params(params, trainer.mesh))
 
 
+def _kge_mesh(args):
+    if not getattr(args, "mesh", None):
+        return None
+    from item_alignment_tpu.config import MeshConfig
+    from item_alignment_tpu.parallel.mesh import create_mesh
+    data, fsdp, tensor = (int(x) for x in args.mesh.split(","))
+    return create_mesh(MeshConfig(data=data, fsdp=fsdp, tensor=tensor))
+
+
 def cmd_pkgm_pretrain(argv: List[str]) -> int:
     p = argparse.ArgumentParser(prog="ia-tpu pkgm-pretrain")
     p.add_argument("--data_dir", required=True,
@@ -726,6 +756,9 @@ def cmd_pkgm_pretrain(argv: List[str]) -> int:
     p.add_argument("--sampling_type", default="bernoulli")
     p.add_argument("--do_eval", action="store_true")
     p.add_argument("--save_epochs", type=int, default=50)
+    p.add_argument("--mesh", default=None,
+                   help="data,fsdp,tensor axis sizes: shard the triple "
+                        "batches over the data axis (e.g. '-1,1,1')")
     args = p.parse_args(argv)
 
     from item_alignment_tpu.kge import (
@@ -744,7 +777,8 @@ def cmd_pkgm_pretrain(argv: List[str]) -> int:
                          learning_rate=args.learning_rate,
                          batch_size=args.batch_size, n_epochs=args.epochs,
                          save_dir=args.output_dir,
-                         save_epochs=args.save_epochs)
+                         save_epochs=args.save_epochs,
+                         mesh=_kge_mesh(args))
     result = trainer.run()
     trainer.save(os.path.join(args.output_dir, "kge_final.npz"))
     out = {"final_loss": result["history"][-1]["loss"]}

@@ -308,9 +308,46 @@ def yolo_box_crop(img: np.ndarray, box: Sequence[float], gain: float = 1.02,
     return img[y1n:y2n, x1n:x2n]
 
 
+SALIENCY_CLASS = "__saliency__"  # class-agnostic box: bypasses the whitelist
+
+
+def propose_box_saliency(img: np.ndarray, bg_tolerance: float = 30.0,
+                         min_line_fraction: float = 0.01) -> List:
+    """Offline class-agnostic box proposal for product photos.
+
+    Fallback detector standing in for the reference's torch.hub YOLOv5
+    (data_prepare.py:1450-1505, unrunnable without network): e-commerce
+    main images are overwhelmingly a product on a near-uniform studio
+    background, so the foreground bounding box is recoverable without a
+    learned model — estimate the background color from the image border
+    (median), mark pixels farther than ``bg_tolerance`` (max-channel
+    distance) as foreground, and take the bounding box of rows/columns
+    whose foreground count exceeds ``min_line_fraction`` (speckle
+    rejection).  Returns ``[(x1, y1, x2, y2, SALIENCY_CLASS, 1.0)]`` or
+    ``[]`` when no plausible foreground exists (busy background / full-
+    bleed photo), in which case the crop pass copies the original —
+    exactly the reference's below-ratio behavior."""
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w, -1).astype(np.float32)
+    border = np.concatenate([flat[0], flat[-1], flat[:, 0], flat[:, -1]])
+    bg = np.median(border, axis=0)
+    fg = np.abs(flat - bg).max(axis=-1) > bg_tolerance
+    rows = np.where(fg.sum(axis=1) > min_line_fraction * w)[0]
+    cols = np.where(fg.sum(axis=0) > min_line_fraction * h)[0]
+    if rows.size == 0 or cols.size == 0:
+        return []
+    if fg.mean() > 0.9:  # full-bleed photo: "background" model is wrong
+        return []
+    y1, y2 = int(rows[0]), int(rows[-1]) + 1
+    x1, x2 = int(cols[0]), int(cols[-1]) + 1
+    return [(float(x1), float(y1), float(x2), float(y2),
+             SALIENCY_CLASS, 1.0)]
+
+
 def crop_images_with_boxes(item_info_path: str, images_dir: str,
                            out_dir: str, boxes: Dict[str, List],
-                           min_crop_ratio: float = 0.1) -> Dict[str, int]:
+                           min_crop_ratio: float = 0.1,
+                           detector=None) -> Dict[str, int]:
     """Offline substitute for the reference's YOLOv5 ``object_detection``
     pass (data_prepare.py:1450-1505, which shells out to torch.hub and is
     not runnable offline): ``boxes`` maps item_id to detector outputs
@@ -336,11 +373,15 @@ def crop_images_with_boxes(item_info_path: str, images_dir: str,
             out = img
             if whitelist is not None:
                 h, w = img.shape[:2]
-                dets = sorted(boxes.get(item_id, []),
+                dets = boxes.get(item_id)
+                if dets is None and detector is not None:
+                    # e.g. propose_box_saliency (offline YOLO fallback)
+                    dets = detector(img)
+                dets = sorted(dets or [],
                               key=lambda b: abs(b[3] - b[1]) * abs(b[2] - b[0]),
                               reverse=True)
                 for det in dets:
-                    if det[4] not in whitelist:
+                    if det[4] not in whitelist and det[4] != SALIENCY_CLASS:
                         continue
                     ratio = (abs(det[3] - det[1]) * abs(det[2] - det[0])
                              / float(h * w))

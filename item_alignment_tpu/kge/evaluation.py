@@ -30,6 +30,14 @@ def _ranks_from_scores(scores: np.ndarray, true_idx: np.ndarray) -> np.ndarray:
 
 
 class LinkPredictionEvaluator:
+    """Raw + filtered ranks computed ON DEVICE: per batch only two [bs]
+    rank vectors come back to the host.  (Transferring the [bs, n_ent]
+    score matrices — 258k fp32 columns per triple at reference scale — is
+    what melts a naive port of torchkge's evaluation.py:286-300; the
+    filtered rank is instead ``raw − #(known-true candidates scoring above
+    the target)`` with the per-triple known sets padded to a fixed width.)
+    """
+
     def __init__(self, model: KGEModel, params, kg_test: KnowledgeGraph,
                  kg_filter: Optional[Tuple[KnowledgeGraph, ...]] = None,
                  batch_size: int = 128):
@@ -40,32 +48,71 @@ class LinkPredictionEvaluator:
         filters = kg_filter if kg_filter is not None else (kg_test,)
         self.true_tails = kg_test.dict_of_tails(*[k for k in filters if k is not kg_test])
         self.true_heads = kg_test.dict_of_heads(*[k for k in filters if k is not kg_test])
-        self._tails_fn = jax.jit(model.scores_all_tails)
-        self._heads_fn = jax.jit(model.scores_all_heads)
         self.ranks_t = self.ranks_h = None
         self.filt_ranks_t = self.filt_ranks_h = None
 
+        scores_all = {"tails": model.scores_all_tails,
+                      "heads": model.scores_all_heads}
+
+        def ranks_fn(side):
+            def fn(params, anchor, rel, true_idx, known_idx):
+                scores = scores_all[side](params, anchor, rel)  # [bs, n_ent]
+                bs = scores.shape[0]
+                true_s = scores[jnp.arange(bs), true_idx]
+                raw = 1 + jnp.sum(scores > true_s[:, None], axis=1,
+                                  dtype=jnp.int32)
+                # filtered = raw minus known-true others scoring higher
+                # (equivalent to the -inf masking, without materializing
+                # the masked matrix on host)
+                valid = known_idx >= 0
+                ks = jnp.take_along_axis(scores, jnp.maximum(known_idx, 0),
+                                         axis=1)
+                higher = jnp.sum(valid & (ks > true_s[:, None]), axis=1,
+                                 dtype=jnp.int32)
+                return raw, raw - higher
+            return jax.jit(fn)
+
+        self._ranks_t_fn = ranks_fn("tails")
+        self._ranks_h_fn = ranks_fn("heads")
+
+    @staticmethod
+    def _pad_known(dct, keys_a, rels, targets, width) -> np.ndarray:
+        """[bs, width] known-true candidate ids, target excluded, -1 pad."""
+        out = np.full((len(keys_a), width), -1, dtype=np.int32)
+        for i, (a, r, tgt) in enumerate(zip(keys_a, rels, targets)):
+            known = [k for k in dct.get((int(a), int(r)), ())
+                     if k != int(tgt)]
+            out[i, : len(known)] = known[:width]
+        return out
+
     def evaluate(self) -> "LinkPredictionEvaluator":
         kg, bs = self.kg, self.batch_size
+        # fixed filter width across the run: one compile, exact ranks
+        max_known = max(
+            [len(v) for v in self.true_tails.values()]
+            + [len(v) for v in self.true_heads.values()] + [1])
+        width = max(8, int(2 ** np.ceil(np.log2(max_known))))
         ranks_t, ranks_h, f_ranks_t, f_ranks_h = [], [], [], []
-        for s in range(0, kg.n_facts, bs):
-            h = kg.head_idx[s:s + bs]
-            r = kg.relations[s:s + bs]
-            t = kg.tail_idx[s:s + bs]
-            st = np.array(self._tails_fn(self.params, jnp.asarray(h), jnp.asarray(r)))
-            sh = np.array(self._heads_fn(self.params, jnp.asarray(t), jnp.asarray(r)))
-            ranks_t.append(_ranks_from_scores(st, t))
-            ranks_h.append(_ranks_from_scores(sh, h))
-            # filtered: mask all known-true candidates except the target
-            for i in range(len(h)):
-                for known in self.true_tails.get((int(h[i]), int(r[i])), ()):
-                    if known != int(t[i]):
-                        st[i, known] = -np.inf
-                for known in self.true_heads.get((int(t[i]), int(r[i])), ()):
-                    if known != int(h[i]):
-                        sh[i, known] = -np.inf
-            f_ranks_t.append(_ranks_from_scores(st, t))
-            f_ranks_h.append(_ranks_from_scores(sh, h))
+        n = kg.n_facts
+        for s in range(0, n, bs):
+            # fixed batch shape (pad by wrap, trim after) -> single compile
+            idx = np.arange(s, s + bs) % n
+            m = min(bs, n - s)
+            h = kg.head_idx[idx]
+            r = kg.relations[idx]
+            t = kg.tail_idx[idx]
+            kt = self._pad_known(self.true_tails, h, r, t, width)
+            kh = self._pad_known(self.true_heads, t, r, h, width)
+            rt, ft = self._ranks_t_fn(self.params, jnp.asarray(h),
+                                      jnp.asarray(r), jnp.asarray(t),
+                                      jnp.asarray(kt))
+            rh, fh = self._ranks_h_fn(self.params, jnp.asarray(t),
+                                      jnp.asarray(r), jnp.asarray(h),
+                                      jnp.asarray(kh))
+            ranks_t.append(np.asarray(rt)[:m])
+            ranks_h.append(np.asarray(rh)[:m])
+            f_ranks_t.append(np.asarray(ft)[:m])
+            f_ranks_h.append(np.asarray(fh)[:m])
         self.ranks_t = np.concatenate(ranks_t)
         self.ranks_h = np.concatenate(ranks_h)
         self.filt_ranks_t = np.concatenate(f_ranks_t)

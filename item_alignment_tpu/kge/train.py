@@ -36,7 +36,13 @@ class KGETrainer:
                  learning_rate: float = 1e-4, batch_size: int = 32768,
                  n_epochs: int = 100, warmup_proportion: float = 0.1,
                  grad_accumulation_steps: int = 1, seed: int = 0,
-                 save_dir: Optional[str] = None, save_epochs: int = 50):
+                 save_dir: Optional[str] = None, save_epochs: int = 50,
+                 mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` — embedding tables are
+        replicated (they fit one chip's HBM at reference scale) and the
+        per-step triple batch is sharded over the ``data`` axis; XLA psums
+        the embedding gradients (SURVEY.md §5.8)."""
+        self.mesh = mesh
         self.model = model
         self.kg = kg
         self.loss_type = loss_type
@@ -67,6 +73,19 @@ class KGETrainer:
         init_rng, self.rng = jax.random.split(self.rng)
         self.params = model.init_params(init_rng)
         self.opt_state = tx.init(self.params)
+        self._replicated = self._idx_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            data_size = int(mesh.shape.get("data", 1))
+            assert batch_size % max(data_size, 1) == 0, (
+                f"batch_size {batch_size} not divisible by the mesh data "
+                f"axis ({data_size})")
+            self._replicated = NamedSharding(mesh, PartitionSpec())
+            self._idx_sharding = NamedSharding(
+                mesh, PartitionSpec(None, "data"))
+            self.params = jax.device_put(self.params, self._replicated)
+            self.opt_state = jax.device_put(self.opt_state, self._replicated)
 
         model_ = model
         loss_type_ = loss_type
@@ -89,6 +108,8 @@ class KGETrainer:
         # transferred and the negatives stay on device end-to-end
         self._dev_kg = (jnp.asarray(kg.head_idx), jnp.asarray(kg.tail_idx),
                         jnp.asarray(kg.relations))
+        if mesh is not None:
+            self._dev_kg = jax.device_put(self._dev_kg, self._replicated)
         n_facts_ = kg.n_facts
         n_neg_ = self.n_neg
 
@@ -135,9 +156,15 @@ class KGETrainer:
                 # tiny KGs: one step over everything (padding by wrap)
                 order = np.resize(order, bs)
             idx = order[: n_steps * bs].reshape(n_steps, bs).astype(np.int32)
+            idx_dev = jnp.asarray(idx)
+            if self.mesh is not None:
+                # shard each step's triple batch over the data axis; the KG
+                # index arrays and negatives stay replicated (gathers local)
+                idx_dev = jax.device_put(idx_dev, self._idx_sharding)
+                nh = jax.device_put(nh, self._replicated)
+                nt = jax.device_put(nt, self._replicated)
             self.params, self.opt_state, losses = self._epoch(
-                self.params, self.opt_state, *self._dev_kg, nh, nt,
-                jnp.asarray(idx))
+                self.params, self.opt_state, *self._dev_kg, nh, nt, idx_dev)
             losses = np.asarray(losses)
             self.params = self._normalize(self.params)
             mean_loss = float(np.mean(losses)) if losses.size else float("nan")

@@ -273,7 +273,7 @@ class CoCaModel(nn.Module):
                  position_ids=None, images=None, deterministic: bool = True):
         text_tokens = self.text_encoder(
             input_ids, attention_mask, token_type_ids, position_ids,
-            deterministic)[-1]
+            deterministic=deterministic)[-1]
         text_embeds = text_tokens[:, 0]
         image_embeds = image_tokens = None
         if images is not None:

@@ -259,7 +259,13 @@ class TextCNNTwoTower(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids_1, input_ids_2, labels=None,
+                 attention_mask_1=None, attention_mask_2=None,
+                 token_type_ids_1=None, token_type_ids_2=None,
                  deterministic: bool = True):
+        # masks/token types accepted (the two-tower dataset emits them;
+        # the reference TextCNN consumes input ids only, text.py:1496-1609)
+        del attention_mask_1, attention_mask_2
+        del token_type_ids_1, token_type_ids_2
         cfg = self.config
         tower = TextCNN(cfg, name="textcnn")
         f1 = tower(input_ids_1, deterministic)

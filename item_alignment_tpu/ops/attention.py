@@ -65,10 +65,18 @@ def flash_attention(
                                      dtype)
     if dropout_rate > 0.0 and dropout_rng is not None:
         try:
+            seed = jax.random.bits(dropout_rng, dtype=jnp.uint32).astype(jnp.int32)
+            if q.shape[1] > 512:
+                # blocked training path: online-softmax fwd + two-kernel
+                # blocked bwd with per-tile in-kernel dropout
+                from item_alignment_tpu.ops.pallas_attention import (
+                    fused_attention_blockwise_dropout,
+                )
+                return fused_attention_blockwise_dropout(
+                    float(dropout_rate), seed, q, k, v, bias).astype(dtype)
             from item_alignment_tpu.ops.pallas_attention import (
                 fused_attention_dropout,
             )
-            seed = jax.random.bits(dropout_rng, dtype=jnp.uint32).astype(jnp.int32)
             return fused_attention_dropout(
                 float(dropout_rate), seed, q, k, v, bias).astype(dtype)
         except Exception as e:  # pragma: no cover - TPU-only fallback

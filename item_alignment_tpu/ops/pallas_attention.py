@@ -102,17 +102,21 @@ def fused_attention(q, k, v, bias=None):
 
 
 def _fused_attention_fwd(q, k, v, bias):
-    return _fused_attention_impl(q, k, v, bias), (q, k, v, bias)
+    # the stats-emitting kernel: the saved logsumexp lets the backward skip
+    # its softmax-stat recompute
+    out, lse = _fused_attention_dropout_impl(0.0, jnp.int32(0), q, k, v, bias)
+    return out, (q, k, v, bias, lse)
 
 
 def _fused_attention_bwd(res, g):
     """Pallas backward (rate=0 path of the dropout bwd kernel): recomputes
-    scores/probs in VMEM per head and emits dq/dk/dv without ever
-    materializing the [B, N, S, S] probability tensor in HBM (the round-1
-    XLA-recompute backward did, and it dominated the train step)."""
-    q, k, v, bias = res
+    scores in VMEM per head (probs via the saved forward logsumexp) and
+    emits dq/dk/dv without ever materializing the [B, N, S, S] probability
+    tensor in HBM (the round-1 XLA-recompute backward did, and it
+    dominated the train step)."""
+    q, k, v, bias, lse = res
     _, dq, dk, dv, _ = _fused_attention_dropout_bwd(
-        0.0, (jnp.int32(0), q, k, v, bias), g)
+        0.0, (jnp.int32(0), q, k, v, bias, lse), g)
     return dq, dk, dv, None
 
 
@@ -139,9 +143,9 @@ def _keep_scale(bits, rate: float):
     return keep.astype(jnp.float32) / (1.0 - rate)
 
 
-def _attn_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
-                         scale: float, heads_in_cell: int, head_dim: int,
-                         rate: float):
+def _attn_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                         lse_ref, *, scale: float, heads_in_cell: int,
+                         head_dim: int, rate: float):
     S = q_ref.shape[1]
     if rate > 0.0:
         # hardware seeding takes at most 2 values: fold
@@ -160,6 +164,9 @@ def _attn_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
+        # per-row logsumexp saved for the backward (skips its max+sum
+        # recompute — VERDICT r2 "train MFU" item b)
+        lse_ref[0, h:h + 1, :] = (m + jnp.log(denom)).reshape(1, S)
         if rate > 0.0:
             # one draw per head, in head order — the backward kernel
             # replays the identical sequence
@@ -171,7 +178,7 @@ def _attn_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
 
 
 def _attn_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
-                             dq_ref, dk_ref, dv_ref, *, scale: float,
+                             lse_ref, dq_ref, dk_ref, dv_ref, *, scale: float,
                              heads_in_cell: int, head_dim: int, rate: float):
     S = q_ref.shape[1]
     if rate > 0.0:
@@ -189,10 +196,10 @@ def _attn_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale + bias
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
-        probs = p / denom
+        # normalized probs straight from the saved forward stats (no
+        # max/sum recompute; numerics identical to the forward's p/denom)
+        lse = lse_ref[0, h, :].reshape(-1, 1)
+        probs = jnp.exp(scores - lse)
         if rate > 0.0:
             keep = _keep_scale(pltpu.prng_random_bits((S, S)), rate)
             pd = probs * keep  # dropped probs (what the fwd multiplied v by)
@@ -259,7 +266,7 @@ def fused_attention_dropout(rate, seed, q, k, v, bias=None):
     ``rate``: static float in (0, 1).  Forward and backward regenerate the
     same mask from (seed, batch_row, head_group).
     """
-    return _fused_attention_dropout_impl(rate, seed, q, k, v, bias)
+    return _fused_attention_dropout_impl(rate, seed, q, k, v, bias)[0]
 
 
 def _fused_attention_dropout_impl(rate, seed, q, k, v, bias):
@@ -267,35 +274,40 @@ def _fused_attention_dropout_impl(rate, seed, q, k, v, bias):
     scale = 1.0 / (H ** 0.5)
     qt, kt, vt, bias_rows, group = _dropout_flatten(q, k, v, bias)
     row_spec, bias_spec = _dropout_specs(B, S, N, H, group)
-    out = pl.pallas_call(
+    stat_spec = pl.BlockSpec((1, group, S), lambda b, g: (b, g, 0),
+                             memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
         functools.partial(_attn_dropout_kernel, scale=scale,
                           heads_in_cell=group, head_dim=H, rate=rate),
-        out_shape=jax.ShapeDtypeStruct((B, S, N * H), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((B, S, N * H), q.dtype),
+                   jax.ShapeDtypeStruct((B, N, S), jnp.float32)),
         grid=(B, N // group),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   row_spec, row_spec, row_spec, bias_spec],
-        out_specs=row_spec,
+        out_specs=(row_spec, stat_spec),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * N * S * S * H,
             bytes_accessed=4 * B * S * N * H * q.dtype.itemsize,
             transcendentals=B * N * S * S,
         ),
     )(jnp.asarray(seed, jnp.int32).reshape(1), qt, kt, vt, bias_rows)
-    return out.reshape(B, S, N, H)
+    return out.reshape(B, S, N, H), lse
 
 
 def _fused_attention_dropout_fwd(rate, seed, q, k, v, bias):
-    return (_fused_attention_dropout_impl(rate, seed, q, k, v, bias),
-            (seed, q, k, v, bias))
+    out, lse = _fused_attention_dropout_impl(rate, seed, q, k, v, bias)
+    return out, (seed, q, k, v, bias, lse)
 
 
 def _fused_attention_dropout_bwd(rate, res, g):
-    seed, q, k, v, bias = res
+    seed, q, k, v, bias, lse = res
     B, S, N, H = q.shape
     scale = 1.0 / (H ** 0.5)
     qt, kt, vt, bias_rows, group = _dropout_flatten(q, k, v, bias)
     gt = g.reshape(B, S, N * H)
     row_spec, bias_spec = _dropout_specs(B, S, N, H, group)
+    stat_spec = pl.BlockSpec((1, group, S), lambda b, g: (b, g, 0),
+                             memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((B, S, N * H), q.dtype)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_dropout_bwd_kernel, scale=scale,
@@ -303,14 +315,16 @@ def _fused_attention_dropout_bwd(rate, res, g):
         out_shape=(shape, shape, shape),
         grid=(B, N // group),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  row_spec, row_spec, row_spec, bias_spec, row_spec],
+                  row_spec, row_spec, row_spec, bias_spec, row_spec,
+                  stat_spec],
         out_specs=(row_spec, row_spec, row_spec),
         cost_estimate=pl.CostEstimate(
-            flops=11 * B * N * S * S * H,
+            flops=10 * B * N * S * S * H,
             bytes_accessed=8 * B * S * N * H * q.dtype.itemsize,
             transcendentals=B * N * S * S,
         ),
-    )(jnp.asarray(seed, jnp.int32).reshape(1), qt, kt, vt, bias_rows, gt)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qt, kt, vt, bias_rows, gt,
+      lse)
     unflat = lambda x: x.reshape(B, S, N, H)  # noqa: E731
     return None, unflat(dq), unflat(dk), unflat(dv), None
 
@@ -320,22 +334,41 @@ fused_attention_dropout.defvjp(_fused_attention_dropout_fwd,
 
 
 # ---------------------------------------------------------------------------
-# Block-wise (flash) attention: online softmax over KV blocks.
+# Block-wise (flash) attention: online softmax over KV blocks, fwd AND bwd.
 #
 # The <=512-token pair workload fits whole [S, S] tiles in VMEM, so the
-# kernels above never need blocking; this kernel is the drop-in for longer
-# sequences (SURVEY §5.7: "design the attention layer so block-wise kernels
-# could be swapped in").  Grid = (batch, head_group, q_block, kv_block) with
-# kv innermost; softmax statistics (m, l) and the output accumulator live
-# in VMEM scratch and persist across the kv iterations of one q block.
+# kernels above never need blocking; these kernels are the drop-in for
+# longer sequences (SURVEY §5.7: "design the attention layer so block-wise
+# kernels could be swapped in").  Forward grid = (batch, head_group,
+# q_block, kv_block) with kv innermost; softmax statistics (m, l) and the
+# output accumulator live in VMEM scratch and persist across the kv
+# iterations of one q block; the per-row logsumexp is emitted as a second
+# output for the backward.  The backward is the standard two-kernel flash
+# split: a dq kernel (grid over q blocks, kv inner) and a dk/dv kernel
+# (grid over kv blocks, q inner), both recomputing p = exp(s - lse) from
+# the saved stats — no [S, S] tile ever hits HBM.  delta = rowsum(g * o)
+# replaces the softmax-backward row reduction (it equals
+# sum_j probs_j * keep_j * (g . v_j) even with dropout).
+#
+# In-kernel dropout (training, S > 512): the PRNG is re-seeded per
+# (batch, head_group, q_block, kv_block) tile with heads drawn in order, so
+# the forward and BOTH backward kernels — whose grids nest the tile loops
+# differently — regenerate identical keep masks.
 # ---------------------------------------------------------------------------
 
 _LANES = 128  # stats are replicated across the lane dim (TPU 2D tiling)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
+def _flash_tile_seed(seed_ref, b, g, qi, ki, n_q, n_kv, n_groups):
+    """Identical composite per (b, g, qi, ki) tile in all three kernels."""
+    cell = ((b * n_groups + g) * n_q + qi) * n_kv + ki
+    pltpu.prng_seed(seed_ref[0], cell)
+
+
+def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
                   m_scratch, l_scratch, acc_scratch, *,
-                  scale: float, heads_in_cell: int, head_dim: int):
+                  scale: float, heads_in_cell: int, head_dim: int,
+                  rate: float):
     kv_i = pl.program_id(3)
     n_kv = pl.num_programs(3)
 
@@ -345,6 +378,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
+    if rate > 0.0:
+        _flash_tile_seed(seed_ref, pl.program_id(0), pl.program_id(1),
+                         pl.program_id(2), kv_i, pl.num_programs(2), n_kv,
+                         pl.num_programs(1))
     bias = bias_ref[0].astype(jnp.float32)  # [1, block_kv]
     for h in range(heads_in_cell):
         sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -360,7 +397,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)                    # rescale factor
         p = jnp.exp(s - m_new)
+        # l accumulates UNdropped mass (the softmax denominator); dropout
+        # multiplies the normalized probabilities, which commutes with /l
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        if rate > 0.0:
+            p = p * _keep_scale(pltpu.prng_random_bits(p.shape), rate)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # [bq, H]
@@ -372,26 +413,120 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
     def _final():
         for h in range(heads_in_cell):
             sl = slice(h * head_dim, (h + 1) * head_dim)
-            denom = l_scratch[h][:, :1]
-            o_ref[0, :, sl] = (acc_scratch[:, sl] / denom).astype(o_ref.dtype)
+            m_fin = m_scratch[h][:, :1]
+            l_fin = l_scratch[h][:, :1]
+            o_ref[0, :, sl] = (acc_scratch[:, sl] / l_fin).astype(o_ref.dtype)
+            lse = m_fin + jnp.log(l_fin)                   # [bq, 1]
+            lse_ref[0, h:h + 1, :] = lse.reshape(1, -1)
 
 
-def _flash_blockwise_impl(q, k, v, bias, block_q: int, block_kv: int):
+def _flash_dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
+                     lse_ref, delta_ref, dq_ref, acc_scratch, *,
+                     scale: float, heads_in_cell: int, head_dim: int,
+                     rate: float):
+    kv_i = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(kv_i == 0)
+    def _init():
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    if rate > 0.0:
+        _flash_tile_seed(seed_ref, pl.program_id(0), pl.program_id(1),
+                         pl.program_id(2), kv_i, pl.num_programs(2), n_kv,
+                         pl.num_programs(1))
+    bias = bias_ref[0].astype(jnp.float32)
+    for h in range(heads_in_cell):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0][:, sl]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        g = g_ref[0][:, sl]
+        lse = lse_ref[0, h, :].reshape(-1, 1)              # [bq, 1]
+        delta = delta_ref[0, h, :].reshape(-1, 1)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale + bias
+        p = jnp.exp(s - lse)                               # normalized probs
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            dp = dp * _keep_scale(pltpu.prng_random_bits(p.shape), rate)
+        ds = (p * (dp - delta)) * scale
+        acc_scratch[:, sl] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(kv_i == n_kv - 1)
+    def _final():
+        dq_ref[0] = acc_scratch[...].astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
+                      lse_ref, delta_ref, dk_ref, dv_ref,
+                      dk_scratch, dv_scratch, *,
+                      scale: float, heads_in_cell: int, head_dim: int,
+                      rate: float):
+    q_i = pl.program_id(3)
+    n_q = pl.num_programs(3)
+
+    @pl.when(q_i == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
+    if rate > 0.0:
+        # NB tile composite must match the fwd/dq kernels: (qi, ki) with
+        # this kernel's grid being (ki outer, qi inner)
+        _flash_tile_seed(seed_ref, pl.program_id(0), pl.program_id(1),
+                         q_i, pl.program_id(2), n_q, pl.num_programs(2),
+                         pl.num_programs(1))
+    bias = bias_ref[0].astype(jnp.float32)
+    for h in range(heads_in_cell):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0][:, sl]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        g = g_ref[0][:, sl]
+        lse = lse_ref[0, h, :].reshape(-1, 1)
+        delta = delta_ref[0, h, :].reshape(-1, 1)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale + bias                                   # [bq, bkv]
+        p = jnp.exp(s - lse)
+        if rate > 0.0:
+            keep = _keep_scale(pltpu.prng_random_bits(p.shape), rate)
+            pd = p * keep
+        else:
+            pd = p
+        dv_scratch[:, sl] += jax.lax.dot_general(
+            pd.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            dp = dp * keep
+        ds = (p * (dp - delta)) * scale
+        dk_scratch[:, sl] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(q_i == n_q - 1)
+    def _final():
+        dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def _flash_shapes(q, bias, block_q, block_kv):
     B, S, N, H = q.shape
-    scale = 1.0 / (H ** 0.5)
     group = min(N, MAX_HEADS_PER_CELL)
     assert N % group == 0, f"heads {N} not divisible by group {group}"
     assert S % block_q == 0 and S % block_kv == 0, (
         f"seq {S} not divisible by blocks ({block_q}, {block_kv})")
-    qt = q.reshape(B, S, N * H)
-    kt = k.reshape(B, S, N * H)
-    vt = v.reshape(B, S, N * H)
     if bias is None:
         bias_rows = jnp.zeros((B, 1, S), jnp.float32)
     else:
         bias_rows = bias.reshape(B, 1, S).astype(jnp.float32)
-
-    grid = (B, N // group, S // block_q, S // block_kv)
     q_spec = pl.BlockSpec((1, block_q, group * H),
                           lambda b, g, qi, ki: (b, qi, g),
                           memory_space=pltpu.VMEM)
@@ -401,13 +536,26 @@ def _flash_blockwise_impl(q, k, v, bias, block_q: int, block_kv: int):
     bias_spec = pl.BlockSpec((1, 1, block_kv),
                              lambda b, g, qi, ki: (b, 0, ki),
                              memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    stat_spec = pl.BlockSpec((1, group, block_q),
+                             lambda b, g, qi, ki: (b, g, qi),
+                             memory_space=pltpu.VMEM)
+    return B, S, N, H, group, bias_rows, q_spec, kv_spec, bias_spec, stat_spec
+
+
+def _flash_blockwise_impl(rate, seed, q, k, v, bias, block_q, block_kv):
+    (B, S, N, H, group, bias_rows, q_spec, kv_spec, bias_spec,
+     stat_spec) = _flash_shapes(q, bias, block_q, block_kv)
+    scale = 1.0 / (H ** 0.5)
+    qt, kt, vt = (x.reshape(B, S, N * H) for x in (q, k, v))
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, heads_in_cell=group,
-                          head_dim=H),
-        out_shape=jax.ShapeDtypeStruct((B, S, N * H), q.dtype),
-        grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec, bias_spec],
-        out_specs=q_spec,
+                          head_dim=H, rate=rate),
+        out_shape=(jax.ShapeDtypeStruct((B, S, N * H), q.dtype),
+                   jax.ShapeDtypeStruct((B, N, S), jnp.float32)),
+        grid=(B, N // group, S // block_q, S // block_kv),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  q_spec, kv_spec, kv_spec, bias_spec],
+        out_specs=(q_spec, stat_spec),
         scratch_shapes=[
             pltpu.VMEM((group, block_q, _LANES), jnp.float32),  # m
             pltpu.VMEM((group, block_q, _LANES), jnp.float32),  # l
@@ -418,31 +566,105 @@ def _flash_blockwise_impl(q, k, v, bias, block_q: int, block_kv: int):
             bytes_accessed=4 * B * S * N * H * q.dtype.itemsize,
             transcendentals=B * N * S * S,
         ),
-    )(qt, kt, vt, bias_rows)
-    return out.reshape(B, S, N, H)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qt, kt, vt, bias_rows)
+    return out.reshape(B, S, N, H), lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_blockwise_bwd_impl(rate, seed, q, k, v, bias, out, lse, g,
+                              block_q, block_kv):
+    (B, S, N, H, group, bias_rows, q_spec, kv_spec, bias_spec,
+     stat_spec) = _flash_shapes(q, bias, block_q, block_kv)
+    scale = 1.0 / (H ** 0.5)
+    qt, kt, vt = (x.reshape(B, S, N * H) for x in (q, k, v))
+    gt = g.reshape(B, S, N * H)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    # delta_i = sum_h g_ih * o_ih = sum_j probs_ij keep_ij (g_i . v_j):
+    # the softmax-backward row term, valid with and without dropout
+    delta = jnp.einsum("bsnh,bsnh->bns", g.astype(jnp.float32),
+                       out.astype(jnp.float32))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    common = dict(scale=scale, heads_in_cell=group, head_dim=H, rate=rate)
+    bwd_cost = pl.CostEstimate(
+        flops=12 * B * N * S * S * H,
+        bytes_accessed=10 * B * S * N * H * q.dtype.itemsize,
+        transcendentals=2 * B * N * S * S,
+    )
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, **common),
+        out_shape=jax.ShapeDtypeStruct((B, S, N * H), q.dtype),
+        grid=(B, N // group, S // block_q, S // block_kv),
+        in_specs=[smem, q_spec, kv_spec, kv_spec, bias_spec, q_spec,
+                  stat_spec, stat_spec],
+        out_specs=q_spec,
+        scratch_shapes=[pltpu.VMEM((block_q, group * H), jnp.float32)],
+        cost_estimate=bwd_cost,
+    )(seed_arr, qt, kt, vt, bias_rows, gt, lse, delta)
+    # dk/dv: same tile loop nested the other way (kv outer, q inner); the
+    # q-indexed blocks must follow the INNER grid axis here
+    dkv_q_spec = pl.BlockSpec((1, block_q, group * H),
+                              lambda b, g_, ki, qi: (b, qi, g_),
+                              memory_space=pltpu.VMEM)
+    dkv_kv_spec = pl.BlockSpec((1, block_kv, group * H),
+                               lambda b, g_, ki, qi: (b, ki, g_),
+                               memory_space=pltpu.VMEM)
+    dkv_bias_spec = pl.BlockSpec((1, 1, block_kv),
+                                 lambda b, g_, ki, qi: (b, 0, ki),
+                                 memory_space=pltpu.VMEM)
+    dkv_stat_spec = pl.BlockSpec((1, group, block_q),
+                                 lambda b, g_, ki, qi: (b, g_, qi),
+                                 memory_space=pltpu.VMEM)
+    kv_shape = jax.ShapeDtypeStruct((B, S, N * H), q.dtype)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, **common),
+        out_shape=(kv_shape, kv_shape),
+        grid=(B, N // group, S // block_kv, S // block_q),
+        in_specs=[smem, dkv_q_spec, dkv_kv_spec, dkv_kv_spec, dkv_bias_spec,
+                  dkv_q_spec, dkv_stat_spec, dkv_stat_spec],
+        out_specs=(dkv_kv_spec, dkv_kv_spec),
+        scratch_shapes=[pltpu.VMEM((block_kv, group * H), jnp.float32),
+                        pltpu.VMEM((block_kv, group * H), jnp.float32)],
+        cost_estimate=bwd_cost,
+    )(seed_arr, qt, kt, vt, bias_rows, gt, lse, delta)
+    unflat = lambda x: x.reshape(B, S, N, H)  # noqa: E731
+    return unflat(dq), unflat(dk), unflat(dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6, 7))
+def fused_attention_blockwise_dropout(rate, seed, q, k, v, bias=None,
+                                      block_q: int = 256,
+                                      block_kv: int = 256):
+    """Flash attention with in-kernel inverted dropout for S > 512:
+    online-softmax forward emitting per-row logsumexp, fully blocked
+    two-kernel backward regenerating the identical per-tile keep masks.
+    ``rate``: static float (0.0 disables dropout); ``seed``: int32 scalar."""
+    out, _ = _flash_blockwise_impl(rate, seed, q, k, v, bias,
+                                   block_q, block_kv)
+    return out
+
+
+def _fused_attention_blockwise_dropout_fwd(rate, seed, q, k, v, bias,
+                                           block_q, block_kv):
+    out, lse = _flash_blockwise_impl(rate, seed, q, k, v, bias,
+                                     block_q, block_kv)
+    return out, (seed, q, k, v, bias, out, lse)
+
+
+def _fused_attention_blockwise_dropout_bwd(rate, block_q, block_kv, res, g):
+    seed, q, k, v, bias, out, lse = res
+    dq, dk, dv = _flash_blockwise_bwd_impl(rate, seed, q, k, v, bias, out,
+                                           lse, g, block_q, block_kv)
+    return None, dq, dk, dv, None
+
+
+fused_attention_blockwise_dropout.defvjp(
+    _fused_attention_blockwise_dropout_fwd,
+    _fused_attention_blockwise_dropout_bwd)
+
+
 def fused_attention_blockwise(q, k, v, bias=None,
                               block_q: int = 256, block_kv: int = 256):
-    """Flash attention (online softmax over KV blocks) for sequences whose
-    [S, S] score tile no longer fits VMEM.  The backward currently reuses
-    the full-tile Pallas kernel (fine up to ~1k tokens); a blocked backward
-    would slot in the same way."""
-    return _flash_blockwise_impl(q, k, v, bias, block_q, block_kv)
-
-
-def _fused_attention_blockwise_fwd(q, k, v, bias, block_q, block_kv):
-    return _flash_blockwise_impl(q, k, v, bias, block_q, block_kv), \
-        (q, k, v, bias)
-
-
-def _fused_attention_blockwise_bwd(block_q, block_kv, res, g):
-    q, k, v, bias = res
-    _, dq, dk, dv, _ = _fused_attention_dropout_bwd(
-        0.0, (jnp.int32(0), q, k, v, bias), g)
-    return dq, dk, dv, None
-
-
-fused_attention_blockwise.defvjp(_fused_attention_blockwise_fwd,
-                                 _fused_attention_blockwise_bwd)
+    """No-dropout flash attention (rate=0 specialization of
+    :func:`fused_attention_blockwise_dropout`): blocked forward AND
+    backward, so S >> 512 works within VMEM for training and inference."""
+    return fused_attention_blockwise_dropout(0.0, jnp.int32(0), q, k, v,
+                                             bias, block_q, block_kv)

@@ -8,22 +8,24 @@ DATA_DIR=${DATA_DIR:-data}
 OUT=${OUT:-$DATA_DIR/output}
 VOCAB=${VOCAB:-$DATA_DIR/vocab}
 IA=${IA:-ia-tpu}
+CONFIGS=${CONFIGS:-configs}
+IMG_SIZE=${IMG_SIZE:-800}
 
 # per-model predictions (threshold 0.4 file naming, like the reference);
 # --do_pred targets processed/finetune_test.tsv when present
 $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
-  --vocab_path "$VOCAB" --config_file configs/roberta_large.json \
+  --vocab_path "$VOCAB" --config_file "$CONFIGS"/roberta_large.json \
   --model_name roberta_large --data_version v3.4 --threshold 0.4 --do_pred \
   --file_state_dict "$OUT/roberta_large-v3.4-one_tower-cls-NA-ce/best_f1.msgpack" \
   ${EXTRA_FLAGS:-}
 $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
-  --vocab_path "$VOCAB" --config_file configs/roberta_large.json \
+  --vocab_path "$VOCAB" --config_file "$CONFIGS"/roberta_large.json \
   --model_name roberta_large --data_version v3.4 --cls_layers 1,2,3,4 \
   --cls_pool cat --threshold 0.4 --do_pred \
   --file_state_dict "$OUT/roberta_large-v3.4-one_tower-cls_1,2,3,4_cat-NA-ce/best_f1.msgpack" \
   ${EXTRA_FLAGS:-}
 $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
-  --vocab_path "$VOCAB" --config_file configs/pkgm_large.json \
+  --vocab_path "$VOCAB" --config_file "$CONFIGS"/pkgm_large.json \
   --entity2id "$DATA_DIR/processed/entity2id.txt" \
   --relation2id "$DATA_DIR/processed/relation2id.txt" \
   --model_name pkgm_large --data_version v3.4 --max_seq_len 64 \
@@ -34,28 +36,32 @@ $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
 # all match the ensemble's --input_file; the per-member decision thresholds
 # (0.6 textcnn, 0.5 nfnet, ...) live in the ensemble spec below
 $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
-  --vocab_path "$VOCAB" --config_file configs/textcnn.json \
+  --vocab_path "$VOCAB" --config_file "$CONFIGS"/textcnn.json \
   --model_name textcnn --data_version v3.4 --interaction_type two_tower \
   --threshold 0.4 --do_pred \
   --file_state_dict "$OUT/textcnn-v3.4-two_tower-cls-NA-ce/best_f1.msgpack" \
   ${EXTRA_FLAGS:-}
 $IA finetune-multimodal --data_dir "$DATA_DIR/processed_image" \
   --output_dir "$OUT" --vocab_path "$VOCAB" \
-  --config_file configs/roberta_image_large.json \
+  --config_file "$CONFIGS"/roberta_image_large.json \
   --model_name roberta_image_large --data_version v5 --ensemble begin \
   --threshold 0.4 --do_pred \
   --file_state_dict "$OUT/roberta_image_large-v5-one_tower-cls-begin-ce/best_f1.msgpack" \
   ${EXTRA_FLAGS:-}
+# test-pair image shards (train.sh step 7 builds only train/valid)
+$IA prepare --data_dir "$DATA_DIR/raw" \
+  --output_dir "$DATA_DIR/image_shards" --only_image \
+  --dtypes test --image_size "$IMG_SIZE"
 $IA finetune-image --data_dir "$DATA_DIR" --output_dir "$OUT" \
   --shards "$DATA_DIR"/image_shards/test_feat_*.npz \
-  --model_name eca_nfnet_l0 --data_version v6 --image_size 800 \
+  --model_name eca_nfnet_l0 --data_version v6 --image_size "$IMG_SIZE" \
   --interaction_type two_tower --threshold 0.4 --do_pred \
   --file_state_dict "$OUT/eca_nfnet_l0-v6-two_tower-cls-NA-ce/best_f1.msgpack" \
   ${EXTRA_FLAGS:-}
 # legacy bert: pred-bert writes the submission jsonl into the ensemble dir
 mkdir -p "$OUT/bert_base-one_tower-cls-NA-ce"
 $IA pred-bert --test_file "$DATA_DIR/item-align-test.json" \
-  --vocab_path "$VOCAB" --config_file configs/roberta_base.json \
+  --vocab_path "$VOCAB" --config_file "$CONFIGS"/roberta_base.json \
   --params "$OUT/bert_base/bert_align.msgpack" --threshold 0.4 \
   --output "$OUT/bert_base-one_tower-cls-NA-ce/deepAI_result_threshold=0.4.jsonl"
 

@@ -11,52 +11,72 @@ OUT=${OUT:-$DATA_DIR/output}
 VOCAB=${VOCAB:-$DATA_DIR/vocab}
 PRETRAINED=${PRETRAINED:-$DATA_DIR/pretrained}
 IA=${IA:-ia-tpu}
+CONFIGS=${CONFIGS:-configs}
+# epoch knobs: defaults reproduce the reference's schedule; the dress
+# rehearsal (scripts/rehearsal.sh) overrides them for a reduced-epoch
+# wall-clock measurement at reference data shape
+EPOCHS=${EPOCHS:-10}
+KGE_EPOCHS=${KGE_EPOCHS:-500}
+BERT_EPOCHS=${BERT_EPOCHS:-3}
+# image sizes: 800 matches the reference two-tower member (1000 upstream);
+# 288 is the embedding-dump size; tiny shakeouts override both
+IMG_SIZE=${IMG_SIZE:-800}
+IMG_EMB_SIZE=${IMG_EMB_SIZE:-288}
 
+step() { echo "=== [train.sh] step $* @ $(date +%s) ==="; }
+
+step 0-prepare
 # 0. offline preparation (shared-pvs-first v3.4 ordering, KG id maps)
 $IA prepare --data_dir "$DATA_DIR/raw" --output_dir "$DATA_DIR/processed" \
   --valid_proportion 0.1 --num_train_augment 0
 
+step 1-pkgm-pretrain
 # 1. PKGM pretraining (TransE-style KG embeddings, margin loss, bern n_neg=3)
 $IA pkgm-pretrain --data_dir "$DATA_DIR/processed" \
   --output_dir "$DATA_DIR/kge" --model_name pkgm --embedding_dim 1024 \
-  --batch_size 32768 --epochs 500 --learning_rate 1e-4 --margin 1.0 --n_neg 3
+  --batch_size 32768 --epochs "$KGE_EPOCHS" --learning_rate 1e-4 --margin 1.0 --n_neg 3
 
+step 2-roberta-flagship
 # 2. roberta_large v3.4 one-tower cls (the flagship; lr 5e-5 bs 40 seq 50+205)
 #    Full train-state checkpoints land per epoch; re-running with the same
 #    --checkpoint_dir and --resume continues from the last saved state.
 $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
-  --vocab_path "$VOCAB" --config_file configs/roberta_large.json \
+  --vocab_path "$VOCAB" --config_file "$CONFIGS"/roberta_large.json \
   --pretrained_model_path "$PRETRAINED" \
   --model_name roberta_large --data_version v3.4 \
   --max_seq_len 50 --max_seq_len_pv 205 --train_batch_size 40 \
   --checkpoint_dir "$OUT/roberta_large_ckpt" ${RESUME:+--resume} \
-  --learning_rate 5e-5 --epochs 10 --bf16 --do_train --do_eval
+  --learning_rate 5e-5 --epochs "$EPOCHS" --bf16 --do_train --do_eval
 
+step 3-roberta-cls-layers
 # 3. roberta_large cls_1,2,3,4_cat variant
 $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
-  --vocab_path "$VOCAB" --config_file configs/roberta_large.json \
+  --vocab_path "$VOCAB" --config_file "$CONFIGS"/roberta_large.json \
   --pretrained_model_path "$PRETRAINED" \
   --model_name roberta_large --data_version v3.4 --cls_layers 1,2,3,4 \
   --cls_pool cat --max_seq_len 50 --max_seq_len_pv 205 \
-  --train_batch_size 40 --learning_rate 5e-5 --epochs 10 --bf16 --do_train
+  --train_batch_size 40 --learning_rate 5e-5 --epochs "$EPOCHS" --bf16 --do_train
 
+step 4-pkgm-finetune
 # 4. pkgm_large one-tower (seq 64, max_pvs 30, bs 256)
 $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
-  --vocab_path "$VOCAB" --config_file configs/pkgm_large.json \
+  --vocab_path "$VOCAB" --config_file "$CONFIGS"/pkgm_large.json \
   --pretrained_model_path "$PRETRAINED" \
   --entity2id "$DATA_DIR/processed/entity2id.txt" \
   --relation2id "$DATA_DIR/processed/relation2id.txt" \
   --model_name pkgm_large --data_version v3.4 \
   --max_seq_len 64 --max_pvs 30 --train_batch_size 256 \
-  --learning_rate 5e-5 --epochs 10 --bf16 --do_train
+  --learning_rate 5e-5 --epochs "$EPOCHS" --bf16 --do_train
 
+step 5-textcnn
 # 5. textcnn two-tower
 $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
-  --vocab_path "$VOCAB" --config_file configs/textcnn.json \
+  --vocab_path "$VOCAB" --config_file "$CONFIGS"/textcnn.json \
   --model_name textcnn --data_version v3.4 --interaction_type two_tower \
   --max_seq_len 50 --max_seq_len_pv 205 --train_batch_size 64 \
-  --learning_rate 1e-3 --epochs 10 --do_train
+  --learning_rate 1e-3 --epochs "$EPOCHS" --do_train
 
+step 6a-image-prep
 # 6a. image offline pipeline: detection-guided crops (boxes precomputed by
 #     any external detector; omit --boxes_file to copy images uncropped),
 #     then the pretrained-NFNet embedding dump threaded into 9-col TSVs.
@@ -64,43 +84,48 @@ $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
 $IA prepare --data_dir "$DATA_DIR/raw" --output_dir "$DATA_DIR/raw" \
   --only_image --object_detection ${BOXES_FILE:+--boxes_file "$BOXES_FILE"} \
   --min_crop_ratio 0.1
+NFNET_CKPT="${TIMM_NFNET:-$PRETRAINED/eca_nfnet_l0.bin}"
 $IA prepare --data_dir "$DATA_DIR/raw" \
   --output_dir "$DATA_DIR/processed_image" --with_image \
   --cv_model_name eca_nfnet_l0 \
-  --pretrained_model_path "${TIMM_NFNET:-$PRETRAINED/eca_nfnet_l0.bin}" \
-  --image_size 288 --valid_proportion 0.1
+  --pretrained_model_path "$NFNET_CKPT" \
+  --image_size "$IMG_EMB_SIZE" --valid_proportion 0.1
 
+step 6b-roberta-image
 # 6b. roberta_image_large v5 one-tower ensemble=begin
 $IA finetune-multimodal --data_dir "$DATA_DIR/processed_image" \
   --output_dir "$OUT" --vocab_path "$VOCAB" \
-  --config_file configs/roberta_image_large.json \
+  --config_file "$CONFIGS"/roberta_image_large.json \
   --pretrained_model_path "$PRETRAINED" \
   --model_name roberta_image_large --data_version v5 --ensemble begin \
   --max_seq_len 50 --max_seq_len_pv 205 --train_batch_size 32 \
-  --learning_rate 5e-5 --epochs 10 --bf16 --do_train
+  --learning_rate 5e-5 --epochs "$EPOCHS" --bf16 --do_train
 
+step 7-nfnet
 # 7. eca_nfnet_l0 image two-tower from pair-image shards (image_size 1000
 #    in the reference; 800 keeps v5e HBM happy at batch 16)
 $IA prepare --data_dir "$DATA_DIR/raw" \
   --output_dir "$DATA_DIR/image_shards" --only_image \
-  --dtypes train,valid --image_size 800
+  --dtypes train,valid --image_size "$IMG_SIZE"
 # valid shards exist when raw/item_valid_pair.jsonl does; eval on them
 # when present so best_f1.msgpack carries the best (not last) params
 VALID_SHARDS=$(ls "$DATA_DIR"/image_shards/valid_feat_*.npz 2>/dev/null || true)
 $IA finetune-image --data_dir "$DATA_DIR" --output_dir "$OUT" \
   --shards "$DATA_DIR"/image_shards/train_feat_*.npz \
   ${VALID_SHARDS:+--valid_shards $VALID_SHARDS} \
-  --pretrained_model_path "${TIMM_NFNET:-$PRETRAINED/eca_nfnet_l0.bin}" \
-  --model_name eca_nfnet_l0 --data_version v6 --image_size 800 \
-  --train_batch_size 16 --learning_rate 1e-4 --epochs 10 --bf16 \
+  --pretrained_model_path "$NFNET_CKPT" \
+  --model_name eca_nfnet_l0 --data_version v6 --image_size "$IMG_SIZE" \
+  --train_batch_size 16 --learning_rate 1e-4 --epochs "$EPOCHS" --bf16 \
   --do_train --do_eval
 
+step 8-bert-legacy
 # 8. legacy 5-field bert with MIX adversarial noise
 $IA finetune-bert --train_file "$DATA_DIR/item-align-train.json" \
   --valid_file "$DATA_DIR/item-align-val.json" --vocab_path "$VOCAB" \
-  --config_file configs/roberta_base.json --output_dir "$OUT/bert_base" \
-  --batch_size 8 --epochs 3 --adversarial MIX
+  --config_file "$CONFIGS"/roberta_base.json --output_dir "$OUT/bert_base" \
+  --batch_size 8 --epochs "$BERT_EPOCHS" --adversarial MIX
 
+step 9-gcn
 # 9. GCN over the item/attribute graph: adjacency + indexed pair files,
 #    features from the finetuned flagship encoder
 $IA build-graph --item_info "$DATA_DIR/raw/item_info.jsonl" \
@@ -109,7 +134,7 @@ $IA build-graph --item_info "$DATA_DIR/raw/item_info.jsonl" \
   --output_dir "$DATA_DIR/graph" --valid_proportion 0.1
 $IA pred-text --entity2id "$DATA_DIR/processed/entity2id.txt" \
   --item_info "$DATA_DIR/raw/item_info.jsonl" --vocab_path "$VOCAB" \
-  --config_file configs/roberta_large.json \
+  --config_file "$CONFIGS"/roberta_large.json \
   --pretrained_model_path "$PRETRAINED" \
   --file_state_dict "$OUT/roberta_large-v3.4-one_tower-cls-NA-ce/best_f1.msgpack" \
   --output "$DATA_DIR/graph/feature_matrix.npy"
@@ -120,3 +145,4 @@ $IA finetune-graph \
   --valid_pairs "$DATA_DIR/graph/item_train_valid_pair.jsonl" \
   --edge_chunk 262144 \
   --output_dir "$OUT/gcn"
+step done

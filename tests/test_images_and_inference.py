@@ -105,3 +105,59 @@ def test_two_tower_inference_cache_matches_direct():
         logits = np.concatenate([se, te]) @ W + b
         expect = np.exp(logits[1]) / np.exp(logits).sum()
         assert abs(p - expect) < 1e-5
+
+
+def test_saliency_box_proposal_finds_product_on_plain_background():
+    """propose_box_saliency (offline YOLO fallback): a product on a studio
+    background yields its bounding box; a full-noise photo yields none."""
+    from item_alignment_tpu.data.images import (
+        SALIENCY_CLASS, crop_largest_detection, propose_box_saliency,
+    )
+
+    img = np.full((200, 300, 3), 245, np.uint8)  # near-white background
+    img[40:160, 90:210] = [180, 30, 30]          # the product
+    (x1, y1, x2, y2, cls, conf), = propose_box_saliency(img)
+    assert cls == SALIENCY_CLASS
+    assert abs(x1 - 90) <= 2 and abs(x2 - 210) <= 2
+    assert abs(y1 - 40) <= 2 and abs(y2 - 160) <= 2
+    cropped = crop_largest_detection(img, propose_box_saliency(img))
+    assert cropped.shape[0] <= 122 and cropped.shape[1] <= 122
+
+    busy = np.random.RandomState(0).randint(0, 255, (64, 64, 3), np.uint8)
+    assert propose_box_saliency(busy) == []
+
+
+def test_crop_images_with_boxes_saliency_detector(tmp_path):
+    """The crop pass uses the fallback detector for items without
+    precomputed boxes, gated on CATE2YOLO_CLASS category membership."""
+    import json
+
+    from PIL import Image
+
+    from item_alignment_tpu.data.images import (
+        CATE2YOLO_CLASS, crop_images_with_boxes, propose_box_saliency,
+    )
+
+    cate = next(iter(CATE2YOLO_CLASS))
+    images = tmp_path / "imgs"
+    images.mkdir()
+    img = np.full((100, 100, 3), 250, np.uint8)
+    img[20:80, 30:90] = 60
+    Image.fromarray(img).save(images / "a.jpg")
+    Image.fromarray(img).save(images / "b.jpg")
+    info = tmp_path / "item_info.jsonl"
+    with open(info, "w", encoding="utf-8") as w:
+        w.write(json.dumps({"item_id": "a", "cate_name": cate,
+                            "item_image_name": "a.jpg"}) + "\n")
+        # category outside the whitelist table: never cropped (reference
+        # object_detection only runs listed categories)
+        w.write(json.dumps({"item_id": "b", "cate_name": "nope",
+                            "item_image_name": "b.jpg"}) + "\n")
+    out = tmp_path / "out"
+    stats = crop_images_with_boxes(str(info), str(images), str(out), {},
+                                   min_crop_ratio=0.1,
+                                   detector=propose_box_saliency)
+    assert stats == {"cropped": 1, "copied": 1, "missing": 0}
+    a = np.asarray(Image.open(out / "a.jpg"))
+    b = np.asarray(Image.open(out / "b.jpg"))
+    assert a.shape[0] < 100 and b.shape == (100, 100, 3)

@@ -179,3 +179,100 @@ def test_dropout_kernel_grads_zero_rate_limit():
     for a, b in zip(g1, g2):
         denom = max(float(jnp.abs(jnp.asarray(b)).max()), 1.0)
         assert float(jnp.abs(a - b).max()) / denom < 2e-2
+
+
+# ------------------------------------------- blocked (flash) fwd+bwd path
+
+def test_blockwise_grads_match_xla_s2048():
+    """Fully blocked backward at S=2048 (VERDICT r2 #3): dq/dk/dv from the
+    two-kernel flash backward vs the XLA reference."""
+    from item_alignment_tpu.ops.attention import dot_product_attention
+    from item_alignment_tpu.ops.pallas_attention import (
+        fused_attention_blockwise,
+    )
+
+    q, k, v, bias = _inputs(B=1, S=2048, N=8, dtype=jnp.float32)
+
+    g1 = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        fused_attention_blockwise(q, k, v, bias, 256, 256) ** 2),
+        argnums=(0, 1, 2)))(q, k, v)
+    g2 = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        dot_product_attention(q, k, v, bias) ** 2), argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g1, g2):
+        denom = max(float(jnp.abs(jnp.asarray(b)).max()), 1.0)
+        assert float(jnp.abs(a - b).max()) / denom < 2e-2
+
+
+def test_blockwise_dropout_forward_statistics_s1024():
+    from item_alignment_tpu.ops.pallas_attention import (
+        fused_attention_blockwise, fused_attention_blockwise_dropout,
+    )
+
+    q, k, v, bias = _inputs(B=2, S=1024, N=8)
+    v = jnp.abs(v)
+    base = np.asarray(fused_attention_blockwise(
+        q, k, v, bias, 256, 256)).astype(np.float64)
+    outs = [np.asarray(fused_attention_blockwise_dropout(
+        0.3, jnp.int32(s), q, k, v, bias, 256, 256)).astype(np.float64)
+        for s in range(8)]
+    mean = np.stack(outs).mean(0)
+    assert abs(mean.mean() - base.mean()) / abs(base.mean()) < 0.05
+    assert np.abs(outs[0] - outs[1]).max() > 1e-3
+    again = np.asarray(fused_attention_blockwise_dropout(
+        0.3, jnp.int32(0), q, k, v, bias, 256, 256)).astype(np.float64)
+    np.testing.assert_array_equal(outs[0], again)
+
+
+def test_blockwise_dropout_fwd_bwd_mask_consistency():
+    """All THREE blocked kernels (fwd, dq, dkv) must regenerate the same
+    per-tile keep mask despite differently nested grids: extract the
+    dropped-probability row from the forward (one-hot v columns) and from
+    the backward (dv), compare zero patterns exactly."""
+    from item_alignment_tpu.ops.pallas_attention import (
+        fused_attention_blockwise_dropout,
+    )
+
+    B, S, N, H = 1, 512, 8, 64
+    rng = jax.random.PRNGKey(1)
+    q, k = (jax.random.normal(r, (B, S, N, H), jnp.float32)
+            for r in jax.random.split(rng, 2))
+    rate, seed, q0 = 0.25, jnp.int32(3), 5
+
+    def f(v_):
+        return jnp.sum(fused_attention_blockwise_dropout(
+            rate, seed, q, k, v_, None, 128, 128)[0, q0])
+
+    dv = np.asarray(jax.grad(f)(jnp.zeros((B, S, N, H), jnp.float32)))
+    # probe columns spanning several kv blocks (block_kv=128)
+    cols = list(range(0, 40)) + list(range(128, 168)) + list(range(384, 424))
+    for n in range(0, N, 3):
+        bwd_row = dv[0, :, n, 0]
+        fwd_row = np.zeros(S)
+        for j in cols:
+            v = jnp.zeros((B, S, N, H), jnp.float32).at[0, j, n, 0].set(1.0)
+            fwd_row[j] = float(fused_attention_blockwise_dropout(
+                rate, seed, q, k, v, None, 128, 128)[0, q0, n, 0])
+        f_sub, b_sub = fwd_row[cols], bwd_row[cols]
+        np.testing.assert_array_equal(f_sub == 0.0, b_sub == 0.0)
+        assert 0.05 < (f_sub == 0.0).mean() < 0.6
+        np.testing.assert_allclose(f_sub, b_sub, rtol=2e-2, atol=1e-5)
+
+
+def test_blockwise_dropout_grads_zero_rate_limit():
+    from item_alignment_tpu.ops.attention import dot_product_attention
+    from item_alignment_tpu.ops.pallas_attention import (
+        fused_attention_blockwise_dropout,
+    )
+
+    q, k, v, bias = _inputs(B=1, S=1024, N=8, dtype=jnp.float32)
+    seed = jnp.int32(11)
+
+    g1 = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        fused_attention_blockwise_dropout(1e-9, seed, q, k, v, bias,
+                                          256, 256) ** 2),
+        argnums=(0, 1, 2)))(q, k, v)
+    g2 = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        dot_product_attention(q, k, v, bias) ** 2), argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g1, g2):
+        denom = max(float(jnp.abs(jnp.asarray(b)).max()), 1.0)
+        assert float(jnp.abs(a - b).max()) / denom < 2e-2
