@@ -17,16 +17,29 @@ import jax
 import jax.numpy as jnp
 
 
-def timed(fn, *args, iters=10):
-    out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])  # sync (tunnel-safe)
+ITERS = 16
+
+
+def scan_timed(one_call, q, k, v):
+    """Time ITERS kernel calls inside ONE jitted scan: per-dispatch RTT
+    through the remote-backend tunnel (~80ms) would otherwise swamp the
+    kernel (sub-ms) entirely."""
+
+    @jax.jit
+    def many(q, k, v):
+        # per-iteration q perturbation: a loop-invariant body would get
+        # hoisted out of the scan and we'd time one call, not ITERS
+        def body(acc, s):
+            return acc + one_call(q + s.astype(q.dtype), k, v), None
+        return jax.lax.scan(body, jnp.float32(0),
+                            jnp.arange(ITERS, dtype=jnp.float32) * 1e-4)[0]
+
+    np.asarray(many(q, k, v))  # compile
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
-        dt = (time.perf_counter() - t0) / iters
+        np.asarray(many(q, k, v))
+        dt = (time.perf_counter() - t0) / ITERS
         best = dt if best is None or dt < best else best
     return best
 
@@ -70,11 +83,17 @@ def main():
         fwd = jax.jit(lambda q, k, v: pa.fused_attention(q, k, v, bias))
         name = "full_tile"
 
-    grad = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
-        fwd(q, k, v).astype(jnp.float32)), argnums=(0, 1, 2)))
+    def fwd_sum(q, k, v):
+        return jnp.sum(fwd(q, k, v).astype(jnp.float32))
 
-    t_fwd = timed(fwd, q, k, v)
-    t_full = timed(grad, q, k, v)
+    def grad_sum(q, k, v):
+        gq, gk, gv = jax.grad(fwd_sum, argnums=(0, 1, 2))(q, k, v)
+        return (jnp.sum(gq.astype(jnp.float32)[..., 0])
+                + jnp.sum(gk.astype(jnp.float32)[..., 0])
+                + jnp.sum(gv.astype(jnp.float32)[..., 0]))
+
+    t_fwd = scan_timed(fwd_sum, q, k, v)
+    t_full = scan_timed(grad_sum, q, k, v)
     fwd_tf = 4 * unit / t_fwd / 1e12
     # grad runs fwd (custom_vjp fwd) + bwd kernels
     t_bwd = t_full - t_fwd

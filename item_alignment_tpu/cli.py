@@ -47,6 +47,10 @@ def run_dir_name(args) -> str:
     so recompose it here — otherwise the cls-layers variant overwrites the
     flagship's run dir."""
     sim = args.similarity_measure or "NA"
+    if getattr(args, "ensemble", None):
+        # multimodal naming puts the ensemble mode in the sim slot
+        # (finetune_multimodal.py:349)
+        sim = args.ensemble
     cls = args.classification_method
     layers = getattr(args, "cls_layers", "1")
     if cls == "cls" and layers and layers != "1":
@@ -957,14 +961,22 @@ def cmd_pred_text(argv: List[str]) -> int:
     pparams = jax.jit(pooler.init)(jax.random.PRNGKey(1),
                                    jnp.ones((1, 1, cfg.hidden_size)))
 
-    if args.pretrained_model_path:
+    hf_bin = (os.path.join(args.pretrained_model_path, "pytorch_model.bin")
+              if args.pretrained_model_path else None)
+    if hf_bin and not os.path.exists(hf_bin):
+        # acceptable only when finetuned weights are supplied instead
+        # (e.g. synthetic-corpus rehearsals without HF checkpoints)
+        if not args.file_state_dict:
+            raise SystemExit(f"{hf_bin} not found and no --file_state_dict")
+        logger.warning(f"no {hf_bin}; relying on --file_state_dict weights")
+        hf_bin = None
+    if hf_bin:
         from item_alignment_tpu.utils.hf_import import (
             convert_encoder_state_dict,
             load_torch_state_dict,
             _overlay,
         )
-        sd = load_torch_state_dict(os.path.join(
-            args.pretrained_model_path, "pytorch_model.bin"))
+        sd = load_torch_state_dict(hf_bin)
         tree = convert_encoder_state_dict(sd, cfg.type_vocab_size,
                                           cfg.max_position_embeddings)
         bparams = jax.tree_util.tree_map(np.asarray, bparams)
@@ -1160,6 +1172,8 @@ def cmd_finetune_image(argv: List[str]) -> int:
 
     ds = load_shard_ds(args.shards)
     valid_ds = load_shard_ds(args.valid_shards) if args.valid_shards else None
+    args.interaction_type = "two_tower"  # this command IS the two-tower
+    # member; keep the run dir name consistent regardless of the flag
     cfg = _model_config(args, image_model_name=args.model_name,
                         image_size=args.image_size,
                         interaction_type="two_tower")

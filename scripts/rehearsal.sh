@@ -21,6 +21,9 @@ export KGE_EPOCHS=${KGE_EPOCHS:-50}
 export BERT_EPOCHS=${BERT_EPOCHS:-1}
 cd "$(dirname "$0")/.."
 mkdir -p "$DATA_DIR"
+# persistent XLA compile cache: predict.sh reuses train.sh's compiles, and
+# a completed reference-scale GCN compile survives across attempts
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-$DATA_DIR/xla_cache}
 
 if [ ! -f "$DATA_DIR/raw/item_info.jsonl" ]; then
   echo "=== [rehearsal] corpus generation @ $(date +%s) ==="
