@@ -53,10 +53,16 @@ def main():
     p.add_argument("--dropout", action="store_true")
     p.add_argument("--blockwise", action="store_true")
     p.add_argument("--block", type=int, default=256)
+    p.add_argument("--group", type=int, default=None,
+                   help="override heads-per-cell (default 8)")
     args = p.parse_args()
 
     from item_alignment_tpu.ops.attention import make_attention_bias
     from item_alignment_tpu.ops import pallas_attention as pa
+
+    if args.group:
+        pa.MAX_HEADS_PER_CELL = args.group
+        pa.MAX_HEADS_PER_DROPOUT_CELL = args.group
 
     B, S, N, H = args.batch, args.seq, args.heads, args.head_dim
     rng = jax.random.PRNGKey(0)

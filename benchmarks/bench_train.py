@@ -107,11 +107,12 @@ def main():
                 return jax.tree.map(lambda a, b: a + b, acc, g), loss
             zeros = jax.tree.map(jnp.zeros_like, params)
             acc, losses = jax.lax.scan(body, zeros, (ids, masks, labels))
-            # consume the accumulated grads: a discarded carry lets XLA
-            # dead-code-eliminate the whole backward
-            probe = sum(jnp.sum(leaf[..., 0])
-                        for leaf in jax.tree_util.tree_leaves(acc)[:4])
-            return losses[-1] + 0.0 * probe
+            # consume EVERY grad leaf as a real output: XLA prunes the
+            # backward of any parameter whose grad is unused (a discarded
+            # carry, a 0.0-scaled probe, or a partial sum all get DCE'd)
+            probe = sum(jnp.sum(leaf if leaf.ndim == 0 else leaf[..., 0])
+                        for leaf in jax.tree_util.tree_leaves(acc))
+            return losses[-1], probe
 
         t_fwd, _ = timed(fwd_n, params, ids, mask, labels)
         t_grad, _ = timed(grad_n, params, ids, mask, labels)

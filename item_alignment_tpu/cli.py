@@ -95,6 +95,10 @@ def _common_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--eval_every_steps", type=int, default=None,
                    help="step-based mid-epoch eval cadence "
                         "(reference finetune_bert.py eval every 1000 steps)")
+    p.add_argument("--scan_steps", type=int, default=8,
+                   help="device-side lax.scan over K train steps per "
+                        "dispatch (amortizes dispatch latency); 1 = "
+                        "per-step dispatch")
     p.add_argument("--early_stopping_patience", type=int, default=None,
                    help="stop after N evals without best-F1 improvement")
     p.add_argument("--checkpoint_dir", default=None,
@@ -153,6 +157,7 @@ def _engine_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log_steps", type=int, default=100)
     p.add_argument("--seed", type=int, default=2345)
     p.add_argument("--eval_every_steps", type=int, default=None)
+    p.add_argument("--scan_steps", type=int, default=8)
     p.add_argument("--early_stopping_patience", type=int, default=None)
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--resume", action="store_true")
@@ -173,6 +178,7 @@ def _engine_train_config(args, train_bs: int, steps_per_epoch: int
         num_epochs=args.epochs, log_steps=args.log_steps,
         output_dir=args.output_dir, threshold=getattr(args, "threshold", 0.5),
         eval_every_steps=args.eval_every_steps,
+        scan_steps=getattr(args, "scan_steps", 8),
         early_stopping_patience=args.early_stopping_patience,
         checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         mesh=MeshConfig(data=data, fsdp=fsdp, tensor=tensor),
@@ -230,6 +236,7 @@ def _train_config(args, steps_per_epoch: int) -> TrainConfig:
         log_steps=args.log_steps, output_dir=args.output_dir,
         threshold=args.threshold,
         eval_every_steps=args.eval_every_steps,
+        scan_steps=getattr(args, "scan_steps", 8),
         early_stopping_patience=args.early_stopping_patience,
         checkpoint_dir=args.checkpoint_dir, resume=args.resume,
         mesh=MeshConfig(data=data, fsdp=fsdp, tensor=tensor),

@@ -299,6 +299,13 @@ class TrainConfig:
                                              # cross-run reproducibility
                                              # guarantees across jax
                                              # versions/shardings.
+    scan_steps: int = 8                      # device-side lax.scan over K
+                                             # train steps per dispatch:
+                                             # a python-loop step pays the
+                                             # full dispatch round trip
+                                             # (~86ms through a remote-TPU
+                                             # tunnel) on EVERY step; K=1
+                                             # restores per-step dispatch
     mesh: MeshConfig = field(default_factory=MeshConfig)
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
 

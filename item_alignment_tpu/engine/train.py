@@ -208,6 +208,15 @@ class Trainer:
             return out.probs, out.src_embeds, out.tgt_embeds
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
+
+        def train_scan(state: TrainState, batches: Dict[str, jax.Array]):
+            """K steps per dispatch (batches leaves are [K, B, ...]):
+            amortizes the per-dispatch round trip, which through a remote
+            TPU costs more than the step compute itself."""
+            state, losses = jax.lax.scan(train_step, state, batches)
+            return state, losses
+
+        self._train_scan = jax.jit(train_scan, donate_argnums=(0,))
         # eval outputs are fetched on every host: replicate them inside the
         # jit (all-gather over the data axis) so np.asarray stays legal on
         # multi-host meshes
@@ -221,6 +230,26 @@ class Trainer:
         return {k: put_global_batch(self._batch_sharding, v)
                 for k, v in batch.items()}
 
+    def _device_scan_batches(self, batches) -> Dict[str, jax.Array]:
+        """Stack K host batches to [K, B, ...] leaves, batch dim sharded
+        over the data axis (dim 0 is the scan axis, replicated)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from item_alignment_tpu.parallel.mesh import AXIS_DATA
+        from item_alignment_tpu.parallel.sharding import process_slice
+
+        sh = NamedSharding(self.mesh, P(None, AXIS_DATA))
+        out = {}
+        for k in batches[0]:
+            v = np.stack([b[k] for b in batches])
+            if jax.process_count() == 1:
+                out[k] = jax.device_put(v, sh)
+            else:
+                local = v[:, process_slice(v.shape[1])]
+                out[k] = jax.make_array_from_process_local_data(sh, local,
+                                                                v.shape)
+        return out
+
     def train_epoch(self, dataset: ArrayDataset, epoch: int = 0,
                     valid_ds: Optional[ArrayDataset] = None) -> Dict[str, float]:
         cfg = self.config
@@ -230,14 +259,26 @@ class Trainer:
         losses, t0 = [], time.time()
         steps = 0
         mid_evals = []
-        # drop_last: the padded partial batch would duplicate rows into the
-        # gradient (datasets.py pads by repeating); shuffling re-covers the
-        # dropped tail across epochs
-        for batch, _ in dataset.batches(cfg.train_batch_size, shuffle=True,
-                                        seed=cfg.seed + epoch, drop_last=True):
-            self.state, loss = self._train_step(self.state, self._device_batch(batch))
-            steps += 1
-            if steps % cfg.log_steps == 0:
+        loss = None
+        # device-side scan over chunks of K steps (one dispatch per chunk);
+        # chunk divides the eval cadence so step-based eval fires exactly
+        chunk = max(int(cfg.scan_steps), 1)
+        if cfg.eval_every_steps:
+            while cfg.eval_every_steps % chunk:
+                chunk -= 1
+
+        def run_chunk(pending):
+            nonlocal steps, loss
+            if len(pending) == 1:
+                self.state, loss = self._train_step(
+                    self.state, self._device_batch(pending[0]))
+            else:
+                self.state, chunk_losses = self._train_scan(
+                    self.state, self._device_scan_batches(pending))
+                loss = chunk_losses[-1]
+            prev = steps
+            steps += len(pending)
+            if steps // cfg.log_steps > prev // cfg.log_steps:
                 losses.append(float(loss))
                 logger.info(f"epoch {epoch} step {steps} loss {losses[-1]:.4f} "
                             f"({(time.time()-t0)/steps:.3f}s/step)")
@@ -250,6 +291,20 @@ class Trainer:
                 mid_evals.append({"step": steps, "best_f1": ev.get("best_f1")})
                 logger.info(f"epoch {epoch} step {steps} "
                             f"eval f1 {ev.get('best_f1', float('nan')):.4f}")
+
+        # drop_last: the padded partial batch would duplicate rows into the
+        # gradient (datasets.py pads by repeating); shuffling re-covers the
+        # dropped tail across epochs
+        pending = []
+        for batch, _ in dataset.batches(cfg.train_batch_size, shuffle=True,
+                                        seed=cfg.seed + epoch, drop_last=True):
+            pending.append(batch)
+            if len(pending) == chunk:
+                run_chunk(pending)
+                pending = []
+        # remainder steps run one dispatch each (shapes stay fixed)
+        for batch in pending:
+            run_chunk([batch])
         final_loss = float(loss) if steps else float("nan")
         out = {"epoch": epoch, "steps": steps, "loss": final_loss,
                "wall_s": time.time() - t0}

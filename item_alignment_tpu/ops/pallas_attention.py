@@ -30,6 +30,33 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_HEADS_PER_CELL = 8
 
 
+def _bound_shift(q, k, scale: float):
+    """Per-row upper bound on the scores via Cauchy-Schwarz:
+    ``C_i = scale * ||q_i|| * max_j ||k_j|| >= max_j s_ij`` (additive mask
+    bias is <= 0 so it never raises the max).
+
+    Replaces the exact per-row max — a LANE-axis reduction over the whole
+    [S, S] score tile, the single most expensive VPU op in the kernel —
+    with reductions over the [S, H] inputs (8x narrower).  ``exp(s - C)``
+    stays exact softmax: the bound's slack (<= 2*scale*||q||*||k||, tens
+    for trained encoders) only shifts values within fp32's ~e^-87 range;
+    keys that far below the row max contribute nothing to softmax anyway.
+    """
+    qn = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=-1,
+                          keepdims=True))                      # [S, 1]
+    kn = jnp.sum(k.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    k_max = jnp.sqrt(jnp.max(kn))                              # scalar
+    return qn * (scale * k_max)                                # [S, 1]
+
+
+def _row_sum_mxu(p):
+    """Row sums of a [S, T] fp32 tile as an MXU ones-matvec: the VPU
+    lane-axis reduction is ~an order of magnitude slower."""
+    ones = jnp.ones((p.shape[1], 1), jnp.float32)
+    return jax.lax.dot_general(p, ones, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
                  heads_in_cell: int, head_dim: int):
     # blocks: q/k/v/o [1, S, G*H] (one batch row, one head group),
@@ -44,9 +71,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [S, S] fp32 accumulation
         scores = scores * scale + bias
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
+        p = jnp.exp(scores - _bound_shift(q, k, scale))
+        # fully-masked rows: denom would be 0 (the old exact-max path gave
+        # uniform probs); clamp so they produce zeros, not NaN
+        denom = jnp.maximum(_row_sum_mxu(p), 1e-37)
         o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -105,7 +133,7 @@ def _fused_attention_fwd(q, k, v, bias):
     # the stats-emitting kernel: the saved logsumexp lets the backward skip
     # its softmax-stat recompute
     out, lse = _fused_attention_dropout_impl(0.0, jnp.int32(0), q, k, v, bias)
-    return out, (q, k, v, bias, lse)
+    return out, (q, k, v, bias, lse, out)
 
 
 def _fused_attention_bwd(res, g):
@@ -114,9 +142,9 @@ def _fused_attention_bwd(res, g):
     emits dq/dk/dv without ever materializing the [B, N, S, S] probability
     tensor in HBM (the round-1 XLA-recompute backward did, and it
     dominated the train step)."""
-    q, k, v, bias, lse = res
+    q, k, v, bias, lse, out = res
     _, dq, dk, dv, _ = _fused_attention_dropout_bwd(
-        0.0, (jnp.int32(0), q, k, v, bias, lse), g)
+        0.0, (jnp.int32(0), q, k, v, bias, lse, out), g)
     return dq, dk, dv, None
 
 
@@ -161,12 +189,12 @@ def _attn_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale + bias
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True)
+        shift = _bound_shift(q, k, scale)
+        p = jnp.exp(scores - shift)
+        denom = jnp.maximum(_row_sum_mxu(p), 1e-37)
         # per-row logsumexp saved for the backward (skips its max+sum
         # recompute — VERDICT r2 "train MFU" item b)
-        lse_ref[0, h:h + 1, :] = (m + jnp.log(denom)).reshape(1, S)
+        lse_ref[0, h:h + 1, :] = (shift + jnp.log(denom)).reshape(1, S)
         if rate > 0.0:
             # one draw per head, in head order — the backward kernel
             # replays the identical sequence
@@ -178,8 +206,9 @@ def _attn_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
 
 
 def _attn_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
-                             lse_ref, dq_ref, dk_ref, dv_ref, *, scale: float,
-                             heads_in_cell: int, head_dim: int, rate: float):
+                             lse_ref, delta_ref, dq_ref, dk_ref, dv_ref, *,
+                             scale: float, heads_in_cell: int, head_dim: int,
+                             rate: float):
     S = q_ref.shape[1]
     if rate > 0.0:
         # hardware seeding takes at most 2 values: fold
@@ -197,7 +226,7 @@ def _attn_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale + bias
         # normalized probs straight from the saved forward stats (no
-        # max/sum recompute; numerics identical to the forward's p/denom)
+        # max/sum recompute; numerics match the forward's p/denom)
         lse = lse_ref[0, h, :].reshape(-1, 1)
         probs = jnp.exp(scores - lse)
         if rate > 0.0:
@@ -214,16 +243,18 @@ def _attn_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
         dpd = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         dprobs = dpd * keep if rate > 0.0 else dpd
-        # softmax backward: ds = probs * (dprobs - rowsum(dprobs * probs))
-        row = jnp.sum(dprobs * probs, axis=-1, keepdims=True)
-        ds = (probs * (dprobs - row)) * scale
-        ds_cast = ds.astype(q.dtype)
+        # softmax backward.  The row term rowsum(dprobs*probs) — a lane
+        # reduction over the [S, S] tile — equals rowsum(g*o) (= delta,
+        # computed outside as one fused XLA pass), dropout included.
+        delta = delta_ref[0, h, :].reshape(-1, 1)
+        ds = (probs * (dprobs - delta)).astype(q.dtype)
+        # scale folded into the [S, H] operands instead of an [S, S] pass
         dq = jax.lax.dot_general(
-            ds_cast, k, (((1,), (0,)), ((), ())),
+            ds, k * jnp.asarray(scale, k.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
         dk = jax.lax.dot_general(
-            ds_cast, q, (((0,), (0,)), ((), ())),
+            ds, q * jnp.asarray(scale, q.dtype), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
 
@@ -296,11 +327,11 @@ def _fused_attention_dropout_impl(rate, seed, q, k, v, bias):
 
 def _fused_attention_dropout_fwd(rate, seed, q, k, v, bias):
     out, lse = _fused_attention_dropout_impl(rate, seed, q, k, v, bias)
-    return out, (seed, q, k, v, bias, lse)
+    return out, (seed, q, k, v, bias, lse, out)
 
 
 def _fused_attention_dropout_bwd(rate, res, g):
-    seed, q, k, v, bias, lse = res
+    seed, q, k, v, bias, lse, out = res
     B, S, N, H = q.shape
     scale = 1.0 / (H ** 0.5)
     qt, kt, vt, bias_rows, group = _dropout_flatten(q, k, v, bias)
@@ -308,6 +339,9 @@ def _fused_attention_dropout_bwd(rate, res, g):
     row_spec, bias_spec = _dropout_specs(B, S, N, H, group)
     stat_spec = pl.BlockSpec((1, group, S), lambda b, g: (b, g, 0),
                              memory_space=pltpu.VMEM)
+    # softmax-backward row term (dropout included): one fused XLA pass
+    delta = jnp.einsum("bsnh,bsnh->bns", g.astype(jnp.float32),
+                       out.astype(jnp.float32))
     shape = jax.ShapeDtypeStruct((B, S, N * H), q.dtype)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_dropout_bwd_kernel, scale=scale,
@@ -316,7 +350,7 @@ def _fused_attention_dropout_bwd(rate, res, g):
         grid=(B, N // group),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   row_spec, row_spec, row_spec, bias_spec, row_spec,
-                  stat_spec],
+                  stat_spec, stat_spec],
         out_specs=(row_spec, row_spec, row_spec),
         cost_estimate=pl.CostEstimate(
             flops=10 * B * N * S * S * H,
@@ -324,7 +358,7 @@ def _fused_attention_dropout_bwd(rate, res, g):
             transcendentals=B * N * S * S,
         ),
     )(jnp.asarray(seed, jnp.int32).reshape(1), qt, kt, vt, bias_rows, gt,
-      lse)
+      lse, delta)
     unflat = lambda x: x.reshape(B, S, N, H)  # noqa: E731
     return None, unflat(dq), unflat(dk), unflat(dv), None
 
@@ -365,16 +399,20 @@ def _flash_tile_seed(seed_ref, b, g, qi, ki, n_q, n_kv, n_groups):
     pltpu.prng_seed(seed_ref[0], cell)
 
 
-def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                  m_scratch, l_scratch, acc_scratch, *,
+def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, shift_ref,
+                  o_ref, lse_ref, l_scratch, acc_scratch, *,
                   scale: float, heads_in_cell: int, head_dim: int,
                   rate: float):
+    """Blocked forward with a PRECOMPUTED per-row shift (the Cauchy-Schwarz
+    score bound, built in one cheap XLA pass over [B, N, S]) instead of the
+    online running max: no per-block [bq, bkv] lane-axis max reduction, no
+    rescale of the accumulator — the shift is a global upper bound, so
+    partial sums never need re-normalizing."""
     kv_i = pl.program_id(3)
     n_kv = pl.num_programs(3)
 
     @pl.when(kv_i == 0)
     def _init():
-        m_scratch[...] = jnp.full_like(m_scratch, -1e30)
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
@@ -388,35 +426,30 @@ def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         q = q_ref[0][:, sl]
         k = k_ref[0][:, sl]
         v = v_ref[0][:, sl]
+        shift = shift_ref[0, h, :].reshape(-1, 1)          # [bq, 1]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale + bias  # [bq, bkv]
-        m_prev = m_scratch[h][:, :1]                       # [bq, 1]
-        l_prev = l_scratch[h][:, :1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)                    # rescale factor
-        p = jnp.exp(s - m_new)
+        p = jnp.exp(s - shift)
         # l accumulates UNdropped mass (the softmax denominator); dropout
         # multiplies the normalized probabilities, which commutes with /l
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        l_new = l_scratch[h][:, :1] + _row_sum_mxu(p)
         if rate > 0.0:
             p = p * _keep_scale(pltpu.prng_random_bits(p.shape), rate)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # [bq, H]
-        acc_scratch[:, sl] = acc_scratch[:, sl] * alpha + pv
-        m_scratch[h] = jnp.broadcast_to(m_new, m_scratch[h].shape)
+        acc_scratch[:, sl] += pv
         l_scratch[h] = jnp.broadcast_to(l_new, l_scratch[h].shape)
 
     @pl.when(kv_i == n_kv - 1)
     def _final():
         for h in range(heads_in_cell):
             sl = slice(h * head_dim, (h + 1) * head_dim)
-            m_fin = m_scratch[h][:, :1]
-            l_fin = l_scratch[h][:, :1]
+            shift = shift_ref[0, h, :].reshape(-1, 1)
+            l_fin = jnp.maximum(l_scratch[h][:, :1], 1e-37)
             o_ref[0, :, sl] = (acc_scratch[:, sl] / l_fin).astype(o_ref.dtype)
-            lse = m_fin + jnp.log(l_fin)                   # [bq, 1]
+            lse = shift + jnp.log(l_fin)                   # [bq, 1]
             lse_ref[0, h:h + 1, :] = lse.reshape(1, -1)
 
 
@@ -452,9 +485,9 @@ def _flash_dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         if rate > 0.0:
             dp = dp * _keep_scale(pltpu.prng_random_bits(p.shape), rate)
-        ds = (p * (dp - delta)) * scale
+        ds = (p * (dp - delta)).astype(k.dtype)
         acc_scratch[:, sl] += jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            ds, k * jnp.asarray(scale, k.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(kv_i == n_kv - 1)
@@ -506,9 +539,9 @@ def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         if rate > 0.0:
             dp = dp * keep
-        ds = (p * (dp - delta)) * scale
+        ds = (p * (dp - delta)).astype(q.dtype)
         dk_scratch[:, sl] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            ds, q * jnp.asarray(scale, q.dtype), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(q_i == n_q - 1)
@@ -542,11 +575,21 @@ def _flash_shapes(q, bias, block_q, block_kv):
     return B, S, N, H, group, bias_rows, q_spec, kv_spec, bias_spec, stat_spec
 
 
+def _global_bound_shift(q, k, scale: float):
+    """[B, N, S] per-row Cauchy-Schwarz score bound (see _bound_shift),
+    computed as one cheap XLA pass over the [B, S, N, H] inputs."""
+    qn = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=-1))   # [B,S,N]
+    kmax = jnp.sqrt(jnp.max(jnp.sum(k.astype(jnp.float32) ** 2, axis=-1),
+                            axis=1))                              # [B,N]
+    return qn.transpose(0, 2, 1) * (scale * kmax)[:, :, None]
+
+
 def _flash_blockwise_impl(rate, seed, q, k, v, bias, block_q, block_kv):
     (B, S, N, H, group, bias_rows, q_spec, kv_spec, bias_spec,
      stat_spec) = _flash_shapes(q, bias, block_q, block_kv)
     scale = 1.0 / (H ** 0.5)
     qt, kt, vt = (x.reshape(B, S, N * H) for x in (q, k, v))
+    shift = _global_bound_shift(q, k, scale)
     out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, heads_in_cell=group,
                           head_dim=H, rate=rate),
@@ -554,10 +597,9 @@ def _flash_blockwise_impl(rate, seed, q, k, v, bias, block_q, block_kv):
                    jax.ShapeDtypeStruct((B, N, S), jnp.float32)),
         grid=(B, N // group, S // block_q, S // block_kv),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  q_spec, kv_spec, kv_spec, bias_spec],
+                  q_spec, kv_spec, kv_spec, bias_spec, stat_spec],
         out_specs=(q_spec, stat_spec),
         scratch_shapes=[
-            pltpu.VMEM((group, block_q, _LANES), jnp.float32),  # m
             pltpu.VMEM((group, block_q, _LANES), jnp.float32),  # l
             pltpu.VMEM((block_q, group * H), jnp.float32),      # acc
         ],
@@ -566,7 +608,7 @@ def _flash_blockwise_impl(rate, seed, q, k, v, bias, block_q, block_kv):
             bytes_accessed=4 * B * S * N * H * q.dtype.itemsize,
             transcendentals=B * N * S * S,
         ),
-    )(jnp.asarray(seed, jnp.int32).reshape(1), qt, kt, vt, bias_rows)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qt, kt, vt, bias_rows, shift)
     return out.reshape(B, S, N, H), lse
 
 

@@ -141,3 +141,29 @@ def test_parameter_freezing():
         elif not np.array_equal(b, a):
             n_moved += 1
     assert n_frozen > 0 and n_moved > 0
+
+
+def test_scan_steps_trajectory_matches_per_step():
+    """Device-side K-step scanning is a pure dispatch optimization: the
+    param trajectory must equal per-step dispatch exactly (dropout included
+    — the in-step rng folds the global step count, identical either way)."""
+    cfg = ModelConfig.textcnn(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+        vocab_size=50, max_position_embeddings=64, num_filters=8,
+        hidden_dropout_prob=0.1)
+    ds = make_pair_dataset()  # 64 rows -> 4 steps/epoch at bs 16
+
+    def run(scan_steps):
+        tcfg = TrainConfig(
+            train_batch_size=16, eval_batch_size=16, num_epochs=2,
+            log_steps=100, scan_steps=scan_steps, mesh=MeshConfig(data=-1),
+            optimizer=OptimizerConfig(learning_rate=2e-3, total_steps=8))
+        trainer = Trainer(TextCNNTwoTower(cfg), tcfg)
+        trainer.fit(ds)
+        return jax.tree.map(np.asarray, trainer.state.params)
+
+    p1 = run(1)
+    p3 = run(3)  # does not divide 4: exercises the remainder path too
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p3)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
