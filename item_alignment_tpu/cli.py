@@ -1154,26 +1154,38 @@ def cmd_finetune_image(argv: List[str]) -> int:
     from item_alignment_tpu.models import build_model
 
     def load_shard_ds(shard_paths):
-        imgs1, imgs2, labels, src_ids, tgt_ids = [], [], [], [], []
+        # two passes: count, then fill preallocated fp32 arrays in place —
+        # at 800px a 4k-pair split is ~60 GB of fp32; list-of-rows +
+        # np.stack would briefly hold 2x that and OOM the host
+        n = 0
+        for sp in shard_paths:  # npz loads lazily: touch only the labels
+            with np.load(sp, allow_pickle=False) as z:
+                n += int(len(z["labels"]))
+        side = args.image_size
+        imgs1 = np.empty((n, side, side, 3), np.float32)
+        imgs2 = np.empty_like(imgs1)
+        labels = np.empty((n,), np.int32)
+        src_ids, tgt_ids = [], []
+        row = 0
         for shard in read_image_shards(shard_paths):
             pre_transformed = shard["images_1"].dtype != np.uint8
             for i in range(len(shard["labels"])):
                 if pre_transformed:  # prepare --only_image already normalized
-                    imgs1.append(np.asarray(shard["images_1"][i], np.float32))
-                    imgs2.append(np.asarray(shard["images_2"][i], np.float32))
+                    imgs1[row] = shard["images_1"][i]
+                    imgs2[row] = shard["images_2"][i]
                 else:
-                    imgs1.append(eval_transform(shard["images_1"][i],
-                                                args.image_size))
-                    imgs2.append(eval_transform(shard["images_2"][i],
-                                                args.image_size))
-                labels.append(int(shard["labels"][i]))
+                    imgs1[row] = eval_transform(shard["images_1"][i],
+                                                args.image_size)
+                    imgs2[row] = eval_transform(shard["images_2"][i],
+                                                args.image_size)
+                labels[row] = int(shard["labels"][i])
                 pid = str(shard["pair_ids"][i])
                 sid, _, tid = pid.partition("|")
                 src_ids.append(sid)
                 tgt_ids.append(tid or sid)
-        return ArrayDataset({"images_1": np.stack(imgs1).astype(np.float32),
-                             "images_2": np.stack(imgs2).astype(np.float32),
-                             "labels": np.asarray(labels, np.int32)},
+                row += 1
+        return ArrayDataset({"images_1": imgs1, "images_2": imgs2,
+                             "labels": labels},
                             meta={"src_item_id": src_ids,
                                   "tgt_item_id": tgt_ids})
 

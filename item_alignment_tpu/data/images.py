@@ -172,10 +172,15 @@ def write_image_shards(pairs: Iterable[Tuple[str, np.ndarray, np.ndarray, int]],
         if not buf:
             return
         path = os.path.join(out_dir, f"{prefix}_{shard}.npz")
-        np.savez_compressed(
+        img1 = np.stack([b[1] for b in buf])
+        # uint8 images compress well; transformed float images are
+        # near-incompressible (normalized camera noise) and zlib on tens of
+        # GB dominates the pipeline wall-clock on a small host — store raw
+        save = np.savez_compressed if img1.dtype == np.uint8 else np.savez
+        save(
             path,
             pair_ids=np.array([b[0] for b in buf]),
-            images_1=np.stack([b[1] for b in buf]),
+            images_1=img1,
             images_2=np.stack([b[2] for b in buf]),
             labels=np.array([b[3] for b in buf], np.int32))
         paths.append(path)
