@@ -34,6 +34,20 @@ COLON_ID = 131
 SEMICOLON_ID = 132
 
 
+def _parse_embedding_column(s, image_hidden_size: int) -> np.ndarray:
+    """Comma-joined float text (one TSV image-embedding column,
+    data.py:650-656) -> fixed ``[image_hidden_size]`` fp32, zero-padded.
+    numpy parses the split strings in C — a ``float(x)`` loop costs minutes
+    over a 65k-pair corpus (2 x 3072 floats per row)."""
+    out = np.zeros(image_hidden_size, np.float32)
+    if s:
+        parts = [p for p in s.split(",") if p.strip()]
+        if parts:
+            vals = np.asarray(parts[:image_hidden_size], dtype=np.float32)
+            out[: len(vals)] = vals
+    return out
+
+
 def load_text_tokenizer(path_or_name: str):
     """BertTokenizer with the reference's bos ``"<S>"`` mapped in
     (``finetune_text.py:187-189``), basic tokenization disabled for parity."""
@@ -389,15 +403,10 @@ def rows_to_image_one_tower_dataset(
             feats[k].append(enc[k])
         feats["labels"].append(int(label))
 
-        def parse_emb(s):
-            vals = np.array([float(x) for x in s.split(",") if x],
-                            np.float32) if s else np.zeros(0, np.float32)
-            out = np.zeros(image_hidden_size, np.float32)
-            out[: len(vals)] = vals[:image_hidden_size]
-            return out
-
-        img_feats["src_image_embeds"].append(parse_emb(src_emb))
-        img_feats["tgt_image_embeds"].append(parse_emb(tgt_emb))
+        img_feats["src_image_embeds"].append(
+            _parse_embedding_column(src_emb, image_hidden_size))
+        img_feats["tgt_image_embeds"].append(
+            _parse_embedding_column(tgt_emb, image_hidden_size))
         meta["src_item_id"].append(src_item_id)
         meta["tgt_item_id"].append(tgt_item_id)
     arrays = {k: np.asarray(v, np.int32) for k, v in feats.items()}
@@ -424,13 +433,6 @@ def rows_to_image_two_tower_dataset(
     img_feats = {"image_embeds_1": [], "image_embeds_2": []}
     meta = {"src_item_id": [], "tgt_item_id": []}
 
-    def parse_emb(s):
-        vals = np.array([float(x) for x in s.split(",") if x],
-                        np.float32) if s else np.zeros(0, np.float32)
-        out = np.zeros(image_hidden_size, np.float32)
-        out[: len(vals)] = vals[:image_hidden_size]
-        return out
-
     for row in rows:
         (label, src_item_id, src_title, src_pvs, src_emb,
          tgt_item_id, tgt_title, tgt_pvs, tgt_emb) = row
@@ -446,7 +448,8 @@ def rows_to_image_two_tower_dataset(
             feats[f"input_ids_{i}"].append(enc["input_ids"])
             feats[f"attention_mask_{i}"].append(enc["attention_mask"])
             feats[f"token_type_ids_{i}"].append(enc["token_type_ids"])
-            img_feats[f"image_embeds_{i}"].append(parse_emb(emb))
+            img_feats[f"image_embeds_{i}"].append(
+                _parse_embedding_column(emb, image_hidden_size))
         feats["labels"].append(int(label))
         meta["src_item_id"].append(src_item_id)
         meta["tgt_item_id"].append(tgt_item_id)
