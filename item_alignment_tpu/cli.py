@@ -40,6 +40,43 @@ from item_alignment_tpu.config import (
 from item_alignment_tpu.utils import logger
 
 
+def _retry_transient(fn, attempts: int = 4, wait: float = 20.0):
+    """Run ``fn`` with retries on transient remote-device transport errors.
+
+    The remote-compile relay in this deployment occasionally drops a
+    connection mid-flight (``Broken pipe`` / ``UNAVAILABLE`` on
+    /remote_compile); device dispatches are idempotent, so retrying is
+    safe.  Non-transient errors re-raise immediately."""
+    import time as _time
+
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # pragma: no cover - device-env specific
+            transient = any(t in str(e) for t in (
+                "UNAVAILABLE", "Broken pipe", "remote_compile",
+                "DEADLINE_EXCEEDED"))
+            if i == attempts - 1 or not transient:
+                raise
+            logger.warning(
+                f"transient device error ({e}); retry {i + 1}/"
+                f"{attempts - 1} in {wait:.0f}s")
+            _time.sleep(wait)
+
+
+def _pred_text_tokenize_slice(payload):
+    """Tokenize a slice of entity texts (module-level so a *spawned*
+    worker — no inherited jax/TPU client state — can pickle it)."""
+    vocab_path, texts, max_seq_len = payload
+    from item_alignment_tpu.data.tokenization import load_text_tokenizer
+
+    tok = load_text_tokenizer(vocab_path)
+    enc = tok(texts, padding="max_length", truncation=True,
+              max_length=max_seq_len)
+    return (np.asarray(enc["input_ids"], np.int32),
+            np.asarray(enc["attention_mask"], np.int32))
+
+
 def run_dir_name(args) -> str:
     """Reference run-dir naming (finetune_text.py:373): the reference's
     ``classification_method`` string embeds the cls-layer selection (e.g.
@@ -913,7 +950,10 @@ def cmd_pred_text(argv: List[str]) -> int:
     p.add_argument("--file_state_dict", default=None,
                    help="finetune-text params msgpack (overlays the encoder)")
     p.add_argument("--max_seq_len", type=int, default=64)
-    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="tokenizer processes (0 = serial); at 258k+ "
+                        "entities serial BertTokenizer dominates the run")
     p.add_argument("--allow_random_weights", action="store_true",
                    help="escape hatch for tests/smoke runs")
     args = p.parse_args(argv)
@@ -953,6 +993,27 @@ def cmd_pred_text(argv: List[str]) -> int:
         return name.split("/value/")[-1]
 
     names = sorted(ents, key=lambda n: ents[n])
+    # tokenize everything up front (parallel workers: serial BertTokenizer
+    # over 258k+ entity texts would dominate the whole command) BEFORE any
+    # device work, so the pool never coexists with TPU client state
+    texts = [entity_text(n) for n in names]
+    if args.num_workers > 1 and len(texts) >= 4 * args.num_workers:
+        import multiprocessing as mp
+
+        k = args.num_workers
+        sl = (len(texts) + k - 1) // k
+        payloads = [(args.vocab_path, texts[i: i + sl], args.max_seq_len)
+                    for i in range(0, len(texts), sl)]
+        with mp.get_context("spawn").Pool(k) as pool:
+            parts = pool.map(_pred_text_tokenize_slice, payloads)
+        ids_all = np.concatenate([p[0] for p in parts])
+        mask_all = np.concatenate([p[1] for p in parts])
+    else:
+        enc = tok(texts, padding="max_length", truncation=True,
+                  max_length=args.max_seq_len)
+        ids_all = np.asarray(enc["input_ids"], np.int32)
+        mask_all = np.asarray(enc["attention_mask"], np.int32)
+
     kw = dict(vocab_size=len(tok), hidden_dropout_prob=0.0,
               attention_probs_dropout_prob=0.0)
     if args.config_file:
@@ -1021,17 +1082,16 @@ def cmd_pred_text(argv: List[str]) -> int:
 
     feats = []
     for s in range(0, len(names), args.batch_size):
-        chunk = names[s:s + args.batch_size]
-        enc = tok([entity_text(n) for n in chunk], padding="max_length",
-                  truncation=True, max_length=args.max_seq_len)
-        ids = np.asarray(enc["input_ids"], np.int32)
-        mask = np.asarray(enc["attention_mask"], np.int32)
-        pad = args.batch_size - len(chunk)
+        ids = ids_all[s: s + args.batch_size]
+        mask = mask_all[s: s + args.batch_size]
+        n_valid = len(ids)
+        pad = args.batch_size - n_valid
         if pad:
             ids = np.pad(ids, ((0, pad), (0, 0)))
             mask = np.pad(mask, ((0, pad), (0, 0)))
-        out = np.asarray(encode(jnp.array(ids), jnp.array(mask)))
-        feats.append(out[: len(chunk)])
+        out = _retry_transient(
+            lambda: np.asarray(encode(jnp.array(ids), jnp.array(mask))))
+        feats.append(out[:n_valid])
     matrix = np.concatenate(feats)
     np.save(args.output, matrix)
     print(json.dumps({"output": args.output, "shape": list(matrix.shape)}))

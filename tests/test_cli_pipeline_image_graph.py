@@ -235,3 +235,27 @@ def test_pred_text_requires_and_loads_weights(corpus, capsys, tmp_path):
     n_ents = sum(1 for _ in open(processed / "entity2id.txt"))
     assert a.shape == (n_ents, 32)
     assert not np.allclose(a, b)  # the checkpoint actually loaded
+
+def test_pred_text_parallel_tokenization_matches_serial(corpus, capsys,
+                                                        tmp_path):
+    """--num_workers spawns tokenizer processes; the feature matrix must be
+    identical to the serial path (the 258k-entity matrix is tokenization-
+    bound without this)."""
+    processed = corpus / "processed"
+    if not (processed / "entity2id.txt").exists():
+        main(["prepare", "--data_dir", str(corpus / "raw"),
+              "--output_dir", str(processed)])
+        capsys.readouterr()
+    base = ["pred-text", "--entity2id", str(processed / "entity2id.txt"),
+            "--item_info", str(corpus / "raw" / "item_info.jsonl"),
+            "--vocab_path", str(corpus / "vocab"),
+            "--config_file", str(corpus / "tiny.json"),
+            "--max_seq_len", "8", "--batch_size", "4",
+            "--allow_random_weights"]
+    assert main(base + ["--output", str(tmp_path / "ser.npy"),
+                        "--num_workers", "0"]) == 0
+    assert main(base + ["--output", str(tmp_path / "par.npy"),
+                        "--num_workers", "2"]) == 0
+    ser = np.load(tmp_path / "ser.npy")
+    par = np.load(tmp_path / "par.npy")
+    np.testing.assert_array_equal(ser, par)

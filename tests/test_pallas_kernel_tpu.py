@@ -276,3 +276,39 @@ def test_blockwise_dropout_grads_zero_rate_limit():
     for a, b in zip(g1, g2):
         denom = max(float(jnp.abs(jnp.asarray(b)).max()), 1.0)
         assert float(jnp.abs(a - b).max()) / denom < 2e-2
+
+
+def test_kernel_12_heads_nondividing_group():
+    """bert_base (legacy BertAlignModel) has 12 heads: the head-group must
+    drop to the largest divisor of N (6 when MAX=8) instead of failing
+    12 % 8 and silently costing the member the fused kernel via the XLA
+    fallback in ops/attention.py."""
+    from item_alignment_tpu.ops.attention import dot_product_attention
+    from item_alignment_tpu.ops.pallas_attention import (
+        fused_attention, fused_attention_dropout,
+    )
+
+    q, k, v, bias = _inputs(N=12)
+    ref = np.asarray(dot_product_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        bias))
+    out = np.asarray(fused_attention(q, k, v, bias)).astype(np.float32)
+    assert np.abs(ref - out).max() < 2e-2
+    # dropout variant at the rate->0 limit
+    out_d = np.asarray(fused_attention_dropout(
+        1e-9, jnp.int32(3), q, k, v, bias)).astype(np.float32)
+    assert np.abs(ref - out_d).max() < 2e-2
+
+
+def test_kernel_12_heads_grads():
+    from item_alignment_tpu.ops.attention import dot_product_attention
+    from item_alignment_tpu.ops.pallas_attention import fused_attention
+
+    q, k, v, bias = _inputs(S=256, N=12, dtype=jnp.float32)
+    g1 = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        fused_attention(q, k, v, bias) ** 2), argnums=(0, 1, 2)))(q, k, v)
+    g2 = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        dot_product_attention(q, k, v, bias) ** 2), argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g1, g2):
+        denom = max(float(jnp.abs(jnp.asarray(b)).max()), 1.0)
+        assert float(jnp.abs(a - b).max()) / denom < 2e-2

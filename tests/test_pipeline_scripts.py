@@ -92,3 +92,27 @@ def test_train_sh_default_runs_from_step_zero(tmp_path):
                      if ln.startswith("IA-CMD"))
     assert first_cmd.startswith("IA-CMD prepare")
     assert "(skipped" not in proc.stdout
+
+
+def test_retry_transient_retries_then_succeeds():
+    from item_alignment_tpu.cli import _retry_transient
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("UNAVAILABLE: remote_compile: Broken pipe")
+        return "ok"
+
+    assert _retry_transient(flaky, attempts=4, wait=0.0) == "ok"
+    assert len(calls) == 3
+
+
+def test_retry_transient_reraises_non_transient():
+    from item_alignment_tpu.cli import _retry_transient
+
+    def bad():
+        raise ValueError("shape mismatch")
+
+    with pytest.raises(ValueError):
+        _retry_transient(bad, attempts=4, wait=0.0)
