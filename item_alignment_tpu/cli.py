@@ -1207,6 +1207,11 @@ def cmd_finetune_image(argv: List[str]) -> int:
                         "tracking under --do_eval)")
     p.add_argument("--image_size", type=int, default=288)
     args = p.parse_args(argv)
+    if "--eval_batch_size" not in argv:
+        # the shared text default (64) OOMs a 16GB chip for 800-1000px
+        # image forwards; the train batch is known to fit (its fwd+bwd
+        # does), so eval/predict default to it
+        args.eval_batch_size = args.train_batch_size
 
     from item_alignment_tpu.data.datasets import ArrayDataset
     from item_alignment_tpu.data.images import eval_transform, read_image_shards
