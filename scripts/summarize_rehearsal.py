@@ -19,7 +19,8 @@ def parse_marks(text):
     """[(step_name, epoch_seconds)] from '=== [train.sh] step N @ T ===' and
     rehearsal begin/end marks (which bound the last step of each phase)."""
     pat = re.compile(
-        r"=== \[(?:train\.sh|rehearsal)\] (?:step )?(\S+(?: \S+)*?) @ (\d+) ===")
+        r"=== \[(?:train\.sh|predict\.sh|rehearsal)\] (?:step )?"
+        r"(\S+(?: \S+)*?) @ (\d+) ===")
     return [(m.group(1), int(m.group(2))) for m in pat.finditer(text)]
 
 
