@@ -30,6 +30,16 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_HEADS_PER_CELL = 8
 
 
+def _head_group(n_heads: int, max_group: int) -> int:
+    """Largest divisor of ``n_heads`` that fits the per-cell cap.  Full
+    groups pipeline best (see the measured group-8 note below), but the
+    head count need not divide MAX: bert_base has 12 heads -> group 6
+    (12 % 8 used to assert, silently costing the legacy member the fused
+    kernel via the XLA fallback in ops/attention.py)."""
+    return next(g for g in range(min(n_heads, max_group), 0, -1)
+                if n_heads % g == 0)
+
+
 def _bound_shift(q, k, scale: float):
     """Per-row upper bound on the scores via Cauchy-Schwarz:
     ``C_i = scale * ||q_i|| * max_j ||k_j|| >= max_j s_ij`` (additive mask
@@ -90,8 +100,7 @@ def _fused_attention_impl(
 ) -> jax.Array:
     B, S, N, H = q.shape
     scale = 1.0 / (H ** 0.5)
-    group = min(N, MAX_HEADS_PER_CELL)
-    assert N % group == 0, f"heads {N} not divisible by group {group}"
+    group = _head_group(N, MAX_HEADS_PER_CELL)
     n_groups = N // group
     qt = q.reshape(B, S, N * H)
     kt = k.reshape(B, S, N * H)
@@ -277,8 +286,7 @@ MAX_HEADS_PER_DROPOUT_CELL = 8
 
 def _dropout_flatten(q, k, v, bias):
     B, S, N, H = q.shape
-    group = min(N, MAX_HEADS_PER_DROPOUT_CELL)
-    assert N % group == 0, f"heads {N} not divisible by group {group}"
+    group = _head_group(N, MAX_HEADS_PER_DROPOUT_CELL)
     qt = q.reshape(B, S, N * H)
     kt = k.reshape(B, S, N * H)
     vt = v.reshape(B, S, N * H)
@@ -552,8 +560,7 @@ def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
 
 def _flash_shapes(q, bias, block_q, block_kv):
     B, S, N, H = q.shape
-    group = min(N, MAX_HEADS_PER_CELL)
-    assert N % group == 0, f"heads {N} not divisible by group {group}"
+    group = _head_group(N, MAX_HEADS_PER_CELL)
     assert S % block_q == 0 and S % block_kv == 0, (
         f"seq {S} not divisible by blocks ({block_q}, {block_kv})")
     if bias is None:
