@@ -951,6 +951,8 @@ def cmd_pred_text(argv: List[str]) -> int:
                    help="finetune-text params msgpack (overlays the encoder)")
     p.add_argument("--max_seq_len", type=int, default=64)
     p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--scan_chunks", type=int, default=8,
+                   help="batches encoded per device dispatch (lax.scan)")
     p.add_argument("--num_workers", type=int, default=8,
                    help="tokenizer processes (0 = serial); at 258k+ "
                         "entities serial BertTokenizer dominates the run")
@@ -1076,23 +1078,33 @@ def cmd_pred_text(argv: List[str]) -> int:
         logger.info(f"overlaid finetuned encoder from {args.file_state_dict}")
 
     @jax.jit
-    def encode(ids, mask):
-        h = backbone.apply(bparams, ids, mask)[-1]
-        return pooler.apply(pparams, h)
+    def encode_k(ids, mask):  # [K, B, S] -> [K, B, H]: K batches per
+        # dispatch via lax.scan — a per-batch python loop pays the remote
+        # tunnel round trip (~86ms) 1300+ times at reference scale
+        def body(c, xm):
+            x, m = xm
+            h = backbone.apply(bparams, x, m)[-1]
+            return c, pooler.apply(pparams, h)
 
+        return jax.lax.scan(body, 0, (ids, mask))[1]
+
+    B, K = args.batch_size, max(int(args.scan_chunks), 1)
+    n, S = ids_all.shape
+    per = B * K
+    n_groups = (n + per - 1) // per
+    if n_groups * per > n:  # pad the tail to full [K, B] groups (the
+        # wasted rows are < one dispatch of compute; masked rows pool to
+        # garbage that is sliced off below)
+        ids_all = np.pad(ids_all, ((0, n_groups * per - n), (0, 0)))
+        mask_all = np.pad(mask_all, ((0, n_groups * per - n), (0, 0)))
     feats = []
-    for s in range(0, len(names), args.batch_size):
-        ids = ids_all[s: s + args.batch_size]
-        mask = mask_all[s: s + args.batch_size]
-        n_valid = len(ids)
-        pad = args.batch_size - n_valid
-        if pad:
-            ids = np.pad(ids, ((0, pad), (0, 0)))
-            mask = np.pad(mask, ((0, pad), (0, 0)))
+    for g in range(n_groups):
+        ids = ids_all[g * per: (g + 1) * per].reshape(K, B, S)
+        mask = mask_all[g * per: (g + 1) * per].reshape(K, B, S)
         out = _retry_transient(
-            lambda: np.asarray(encode(jnp.array(ids), jnp.array(mask))))
-        feats.append(out[:n_valid])
-    matrix = np.concatenate(feats)
+            lambda: np.asarray(encode_k(jnp.array(ids), jnp.array(mask))))
+        feats.append(out.reshape(per, -1))
+    matrix = np.concatenate(feats)[:n]
     np.save(args.output, matrix)
     print(json.dumps({"output": args.output, "shape": list(matrix.shape)}))
     return 0

@@ -259,3 +259,28 @@ def test_pred_text_parallel_tokenization_matches_serial(corpus, capsys,
     ser = np.load(tmp_path / "ser.npy")
     par = np.load(tmp_path / "par.npy")
     np.testing.assert_array_equal(ser, par)
+
+
+def test_pred_text_scan_chunks_matches_per_batch(corpus, capsys, tmp_path):
+    """K-batches-per-dispatch (lax.scan) must produce the same matrix as
+    one batch per dispatch, including tail padding."""
+    processed = corpus / "processed"
+    if not (processed / "entity2id.txt").exists():
+        main(["prepare", "--data_dir", str(corpus / "raw"),
+              "--output_dir", str(processed)])
+        capsys.readouterr()
+    base = ["pred-text", "--entity2id", str(processed / "entity2id.txt"),
+            "--item_info", str(corpus / "raw" / "item_info.jsonl"),
+            "--vocab_path", str(corpus / "vocab"),
+            "--config_file", str(corpus / "tiny.json"),
+            "--max_seq_len", "8", "--batch_size", "3", "--num_workers", "0",
+            "--allow_random_weights"]
+    assert main(base + ["--output", str(tmp_path / "k1.npy"),
+                        "--scan_chunks", "1"]) == 0
+    assert main(base + ["--output", str(tmp_path / "k4.npy"),
+                        "--scan_chunks", "4"]) == 0
+    k1 = np.load(tmp_path / "k1.npy")
+    k4 = np.load(tmp_path / "k4.npy")
+    n_ents = sum(1 for _ in open(processed / "entity2id.txt"))
+    assert k1.shape[0] == n_ents
+    np.testing.assert_allclose(k1, k4, rtol=0, atol=1e-6)
