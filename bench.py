@@ -70,9 +70,38 @@ def flagship_cross_encoder_pairs_per_sec(cfg) -> float:
     return B * n_iters / min(times)
 
 
+def _require_live_backend(timeout_s: float = 180.0) -> None:
+    """Fail fast with a parseable JSON line if the device backend is
+    unreachable (the remote-TPU tunnel can die; a bare hang leaves the
+    bench harness with nothing to record)."""
+    import os
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        x = jax.jit(lambda a: a * 2 + 1)(jnp.arange(8.0))
+        np.asarray(x)
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok.is_set():
+        print(json.dumps({
+            "metric": "two_tower_mining_throughput",
+            "value": None, "unit": "pairs/sec/chip", "vs_baseline": None,
+            "error": f"device backend unreachable (probe > {timeout_s:.0f}s);"
+                     " remote-TPU tunnel down",
+        }), flush=True)
+        os._exit(3)
+
+
 def main():
     from item_alignment_tpu.config import ModelConfig
     from item_alignment_tpu.models.text import RobertaBackbone
+
+    _require_live_backend()
 
     cfg = ModelConfig.roberta_large(
         max_seq_len=50, max_seq_len_pv=205, dtype="bfloat16",
