@@ -126,6 +126,13 @@ def _common_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--warmup_proportion", type=float, default=0.1)
     p.add_argument("--weight_decay", type=float, default=0.01)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--total_steps", type=int, default=None,
+                   help="LR-schedule horizon in optimizer updates (default: "
+                        "steps_per_epoch*epochs/grad_accum).  Pin this when "
+                        "an interrupted run will be resumed with a larger "
+                        "--epochs so both invocations decay over the same "
+                        "schedule (the computed default would give the "
+                        "shorter first run a steeper decay)")
     p.add_argument("--log_steps", type=int, default=100)
     p.add_argument("--seed", type=int, default=2345)
     p.add_argument("--threshold", type=float, default=0.5)
@@ -201,6 +208,8 @@ def _engine_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--weight_decay", type=float, default=0.01)
     p.add_argument("--warmup_proportion", type=float, default=0.1)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--total_steps", type=int, default=None,
+                   help="LR-schedule horizon override (see finetune --help)")
 
 
 def _engine_train_config(args, train_bs: int, steps_per_epoch: int
@@ -223,8 +232,9 @@ def _engine_train_config(args, train_bs: int, steps_per_epoch: int
             learning_rate=args.learning_rate,
             weight_decay=args.weight_decay,
             warmup_proportion=args.warmup_proportion,
-            total_steps=max(steps_per_epoch * args.epochs
-                            // max(args.gradient_accumulation_steps, 1), 1),
+            total_steps=args.total_steps
+            or max(steps_per_epoch * args.epochs
+                   // max(args.gradient_accumulation_steps, 1), 1),
             grad_accumulation_steps=args.gradient_accumulation_steps),
     )
 
@@ -284,8 +294,9 @@ def _train_config(args, steps_per_epoch: int) -> TrainConfig:
             # MultiSteps only advances the schedule once per k mini-batches,
             # so the schedule length counts OPTIMIZER updates
             # (finetune_text.py:325-329 divides the same way)
-            total_steps=max(steps_per_epoch * args.epochs
-                            // max(args.gradient_accumulation_steps, 1), 1),
+            total_steps=args.total_steps
+            or max(steps_per_epoch * args.epochs
+                   // max(args.gradient_accumulation_steps, 1), 1),
             grad_accumulation_steps=args.gradient_accumulation_steps,
             freeze_patterns=_freeze_patterns(args)),
     )
