@@ -16,6 +16,7 @@ over-report 10x), one host transfer closes the timing;
 ``block_until_ready`` is unreliable through the remote-TPU tunnel.
 """
 
+import argparse
 import json
 import time
 
@@ -28,14 +29,21 @@ def main():
     from item_alignment_tpu.config import ModelConfig
     from item_alignment_tpu.models.text import RobertaOneTower
 
+    p = argparse.ArgumentParser()
+    p.add_argument("--quant", default=None, choices=["int8"],
+                   help="int8 MXU path for the dense projections "
+                        "(ops/quant.py; v5e int8 peak is 2x bf16)")
+    p.add_argument("--batch_size", type=int, default=64)
+    args = p.parse_args()
+
     cfg = ModelConfig.roberta_large(
         max_seq_len=50, max_seq_len_pv=205, dtype="bfloat16",
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
-        use_flash_attention=True)
+        use_flash_attention=True, quant=args.quant)
     model = RobertaOneTower(cfg)
     # batch sweep on v5e: 32 -> 341.9, 64 -> 377.8, 128 -> 354.9 pairs/s;
     # 64 is the throughput sweet spot
-    B, S, n_iters = 64, cfg.pair_seq_len, 4
+    B, S, n_iters = args.batch_size, cfg.pair_seq_len, 4
 
     rng = jax.random.PRNGKey(0)
     input_ids = jax.random.randint(rng, (n_iters, B, S), 1, cfg.vocab_size,
@@ -79,7 +87,8 @@ def main():
     attn_flops = L * 4 * S * S * H
     total = (matmul_flops + attn_flops) * pairs_per_sec
     result = {
-        "metric": "roberta_large_one_tower_inference",
+        "metric": "roberta_large_one_tower_inference"
+                  + (f"_{args.quant}" if args.quant else ""),
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pairs_per_sec / 10000.0, 4),

@@ -20,12 +20,19 @@ import jax.numpy as jnp
 
 
 def main():
+    import argparse
+
     from item_alignment_tpu.config import ModelConfig
     from item_alignment_tpu.models.text import RobertaBackbone
 
+    p = argparse.ArgumentParser()
+    p.add_argument("--quant", default=None, choices=["int8"])
+    args = p.parse_args()
+
     cfg = ModelConfig.roberta_large(
         max_seq_len=50, max_seq_len_pv=205, dtype="bfloat16",
-        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        quant=args.quant)
     backbone = RobertaBackbone(cfg)
     S = cfg.item_seq_len  # 255 tokens per item in the two-tower layout
     B, iters = 64, 4

@@ -40,28 +40,9 @@ from item_alignment_tpu.config import (
 from item_alignment_tpu.utils import logger
 
 
-def _retry_transient(fn, attempts: int = 4, wait: float = 20.0):
-    """Run ``fn`` with retries on transient remote-device transport errors.
-
-    The remote-compile relay in this deployment occasionally drops a
-    connection mid-flight (``Broken pipe`` / ``UNAVAILABLE`` on
-    /remote_compile); device dispatches are idempotent, so retrying is
-    safe.  Non-transient errors re-raise immediately."""
-    import time as _time
-
-    for i in range(attempts):
-        try:
-            return fn()
-        except Exception as e:  # pragma: no cover - device-env specific
-            transient = any(t in str(e) for t in (
-                "UNAVAILABLE", "Broken pipe", "remote_compile",
-                "DEADLINE_EXCEEDED"))
-            if i == attempts - 1 or not transient:
-                raise
-            logger.warning(
-                f"transient device error ({e}); retry {i + 1}/"
-                f"{attempts - 1} in {wait:.0f}s")
-            _time.sleep(wait)
+from item_alignment_tpu.utils.retry import (  # noqa: E402
+    retry_transient as _retry_transient,
+)
 
 
 def _pred_text_tokenize_slice(payload):
@@ -156,6 +137,10 @@ def _common_train_flags(p: argparse.ArgumentParser) -> None:
                         "patterns to freeze during finetune "
                         "(finetune_text.py:257-272); matched as substrings "
                         "of the '/'-joined flax param path")
+    p.add_argument("--quant", default=None, choices=["int8"],
+                   help="int8 MXU path for the encoder's dense projections "
+                        "(inference knob for --do_pred/--do_eval runs; v5e "
+                        "runs int8 matmuls at 2x the bf16 rate)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder layers to cut HBM use")
     p.add_argument("--remat_policy", default="dots", choices=["dots", "full"],
@@ -240,6 +225,11 @@ def _engine_train_config(args, train_bs: int, steps_per_epoch: int
 
 
 def _model_config(args, **extra) -> ModelConfig:
+    if getattr(args, "quant", None) and getattr(args, "do_train", False):
+        raise SystemExit(
+            "--quant int8 is an inference knob (quantize AFTER finetuning): "
+            "round() has zero gradient almost everywhere, so training would "
+            "silently stop learning. Drop --quant for --do_train runs.")
     kw = dict(
         model_name=args.model_name,
         interaction_type=args.interaction_type,
@@ -251,6 +241,7 @@ def _model_config(args, **extra) -> ModelConfig:
         max_seq_len=args.max_seq_len, max_seq_len_pv=args.max_seq_len_pv,
         max_pvs=args.max_pvs, dtype="bfloat16" if args.bf16 else "float32",
         remat=args.remat, remat_policy=args.remat_policy,
+        quant=getattr(args, "quant", None),
     )
     kw.update(extra)
     if args.config_file:
@@ -969,6 +960,9 @@ def cmd_pred_text(argv: List[str]) -> int:
                         "entities serial BertTokenizer dominates the run")
     p.add_argument("--allow_random_weights", action="store_true",
                    help="escape hatch for tests/smoke runs")
+    p.add_argument("--quant", default=None, choices=["int8"],
+                   help="int8 MXU path for the encoder's dense projections "
+                        "(the 258k-entity encode pass is dense-dominated)")
     args = p.parse_args(argv)
 
     import jax
@@ -1028,7 +1022,7 @@ def cmd_pred_text(argv: List[str]) -> int:
         mask_all = np.asarray(enc["attention_mask"], np.int32)
 
     kw = dict(vocab_size=len(tok), hidden_dropout_prob=0.0,
-              attention_probs_dropout_prob=0.0)
+              attention_probs_dropout_prob=0.0, quant=args.quant)
     if args.config_file:
         cfg = ModelConfig.from_json(args.config_file, **kw)
     elif "large" in args.model_name:
@@ -1873,7 +1867,9 @@ def cmd_pred_bert(argv: List[str]) -> int:
             batch.pop("labels")
             fields = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
                       for k, v in unflatten_fields(batch).items()}
-            probs = np.asarray(eval_fn(params, fields))[: meta["n_valid"]]
+            probs = _retry_transient(
+                lambda f=fields: np.asarray(eval_fn(params, f)))
+            probs = probs[: meta["n_valid"]]
             for prob in probs:
                 row = rows[i]
                 w.write(json.dumps({

@@ -134,6 +134,11 @@ class ModelConfig:
                                               # memory at ~no FLOP cost),
                                               # "full" recomputes the whole
                                               # layer (max memory savings)
+    quant: Optional[str] = None               # None | "int8": int8 MXU path
+                                              # for the encoder's dense
+                                              # projections (inference knob;
+                                              # ops/quant.py — v5e runs int8
+                                              # matmuls at 2x the bf16 rate)
 
     # ------------------------------------------------------------------
     @property

@@ -50,6 +50,7 @@ def _host_copy(tree) -> Any:
         return jax.tree.map(leaf, tree)
     return jax.tree.map(np.asarray, tree)
 from item_alignment_tpu.utils import logger
+from item_alignment_tpu.utils.retry import retry_transient
 
 
 class TrainState(train_state.TrainState):
@@ -317,9 +318,19 @@ class Trainer:
         probs_all, labels_all = [], []
         for batch, meta in dataset.batches(cfg.eval_batch_size):
             labels = batch.pop("labels", None)
-            probs, _, _ = self._eval_step(self.state.params, self._device_batch(batch))
+            # eval dispatches donate nothing, so retrying a dropped relay
+            # connection is safe (utils/retry.py; a single transient error
+            # used to abort a whole prediction member mid-pipeline); the
+            # host fetch sits inside the closure because the transport
+            # error can surface at materialization, not dispatch
+            def _run(b=batch):
+                p, _, _ = self._eval_step(self.state.params,
+                                          self._device_batch(b))
+                return np.asarray(p)
+
+            probs = retry_transient(_run)
             n = meta["n_valid"]
-            probs_all.append(np.asarray(probs)[:n])
+            probs_all.append(probs[:n])
             if labels is not None:
                 labels_all.append(np.asarray(labels)[:n])
         probs = np.concatenate(probs_all) if probs_all else np.zeros(0)
@@ -344,9 +355,12 @@ class Trainer:
         with open(path, "w", encoding="utf-8") as w:
             for batch, meta in dataset.batches(cfg.eval_batch_size):
                 batch.pop("labels", None)
-                _, src_emb, tgt_emb = self._eval_step(
-                    self.state.params, self._device_batch(batch))
-                src_emb, tgt_emb = np.asarray(src_emb), np.asarray(tgt_emb)
+                def _run(b=batch):
+                    _, s, t = self._eval_step(self.state.params,
+                                              self._device_batch(b))
+                    return np.asarray(s), np.asarray(t)
+
+                src_emb, tgt_emb = retry_transient(_run)
                 n = meta["n_valid"]
                 src_ids = meta.get("src_item_id", [""] * n)
                 tgt_ids = meta.get("tgt_item_id", [""] * n)

@@ -11,7 +11,7 @@ everything else across ``fsdp`` (see ``parallel/sharding.py``).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Any, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,34 @@ def _compute_dtype(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
 
+class QuantDense(nn.Module):
+    """Drop-in ``nn.Dense`` with the matmul on the int8 MXU path
+    (``ops/quant.py``): dynamic per-token activation scales x per-channel
+    weight scales, int32 accumulation.  Same param names/shapes as
+    ``nn.Dense`` ("kernel", "bias"), so finetuned fp32 checkpoints load
+    unchanged — quantization happens inside the jitted apply."""
+
+    features: int
+    dtype: Any = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        from item_alignment_tpu.ops.quant import int8_matmul
+
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return int8_matmul(x, kernel, bias, out_dtype=self.dtype)
+
+
+def _dense_cls(cfg: ModelConfig):
+    """The encoder's dense-projection class: int8 MXU path when the
+    inference knob ``cfg.quant == "int8"`` is set, plain Dense otherwise."""
+    return QuantDense if cfg.quant == "int8" else nn.Dense
+
+
 class SelfAttention(nn.Module):
     config: ModelConfig
 
@@ -50,7 +78,7 @@ class SelfAttention(nn.Module):
         dt = _compute_dtype(cfg)
         B, S, H = hidden.shape
         N, D = cfg.num_attention_heads, cfg.head_dim
-        dense = lambda name: nn.Dense(  # noqa: E731
+        dense = lambda name: _dense_cls(cfg)(  # noqa: E731
             H, name=name, dtype=dt,
             kernel_init=nn.initializers.normal(cfg.initializer_range))
         q = dense("query")(hidden).reshape(B, S, N, D)
@@ -65,8 +93,9 @@ class SelfAttention(nn.Module):
         attend = flash_attention if cfg.use_flash_attention else dot_product_attention
         ctx = attend(q, k, v, bias, dropout_rate=0.0 if deterministic else rate,
                      dropout_rng=dropout_rng, dtype=hidden.dtype)
-        out = nn.Dense(H, name="output", dtype=dt,
-                       kernel_init=nn.initializers.normal(cfg.initializer_range))(
+        out = _dense_cls(cfg)(
+            H, name="output", dtype=dt,
+            kernel_init=nn.initializers.normal(cfg.initializer_range))(
             ctx.reshape(B, S, H))
         return out
 
@@ -87,11 +116,13 @@ class TransformerLayer(nn.Module):
                               name="attention_layer_norm")(hidden + attn_out)
 
         act = ACT[cfg.hidden_act]
-        mlp = nn.Dense(cfg.intermediate_size, name="intermediate", dtype=dt,
-                       kernel_init=nn.initializers.normal(cfg.initializer_range))(hidden)
+        mlp = _dense_cls(cfg)(
+            cfg.intermediate_size, name="intermediate", dtype=dt,
+            kernel_init=nn.initializers.normal(cfg.initializer_range))(hidden)
         mlp = act(mlp)
-        mlp = nn.Dense(cfg.hidden_size, name="mlp_output", dtype=dt,
-                       kernel_init=nn.initializers.normal(cfg.initializer_range))(mlp)
+        mlp = _dense_cls(cfg)(
+            cfg.hidden_size, name="mlp_output", dtype=dt,
+            kernel_init=nn.initializers.normal(cfg.initializer_range))(mlp)
         mlp = drop(mlp, deterministic=deterministic)
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt,
                               name="output_layer_norm")(hidden + mlp)

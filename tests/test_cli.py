@@ -90,6 +90,45 @@ def test_prepare_finetune_pred_roundtrip(corpus, capsys):
     assert len(rows) == 4 and rows[0]["src_item_id"].startswith("i")
 
 
+def test_pred_with_int8_quant(corpus, capsys):
+    """--quant int8 routes the encoder's dense projections through the
+    int8 MXU path (ops/quant.py) for prediction runs; the CLI surface must
+    produce a well-formed submission file."""
+    out = corpus / "processed"
+    if not (out / "finetune_train.tsv").exists():
+        main(["prepare", "--data_dir", str(corpus / "raw"),
+              "--output_dir", str(out), "--valid_proportion", "0.3"])
+        capsys.readouterr()
+    rc = main([
+        "finetune-text", "--data_dir", str(out),
+        "--output_dir", str(corpus / "output_int8"),
+        "--vocab_path", str(corpus / "vocab"),
+        "--model_name", "roberta_tiny",
+        "--config_file", str(corpus / "tiny.json"),
+        "--max_seq_len", "8", "--max_seq_len_pv", "8",
+        "--eval_batch_size", "8", "--quant", "int8",
+        "--do_pred", "--threshold", "0.4",
+    ])
+    assert rc == 0
+    out_lines = [json.loads(l)
+                 for l in capsys.readouterr().out.strip().splitlines()
+                 if l.startswith("{")]
+    preds = [o for o in out_lines if "prediction_file" in o]
+    rows = [json.loads(l) for l in open(preds[-1]["prediction_file"])]
+    probs = [float(r["tgt_item_emb"].strip("[]")) for r in rows]
+    assert rows and all(np.isfinite(p) and 0.0 <= p <= 1.0 for p in probs)
+
+
+def test_quant_train_rejected(corpus):
+    with pytest.raises(SystemExit):
+        main(["finetune-text", "--data_dir", str(corpus / "processed"),
+              "--output_dir", str(corpus / "output_int8"),
+              "--vocab_path", str(corpus / "vocab"),
+              "--model_name", "roberta_tiny",
+              "--config_file", str(corpus / "tiny.json"),
+              "--quant", "int8", "--do_train"])
+
+
 def test_pkgm_pretrain_cli(corpus, capsys):
     out = corpus / "processed"
     if not (out / "train2id.txt").exists():
