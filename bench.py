@@ -157,6 +157,35 @@ def main():
     dt = min(times)
 
     pairs_per_sec = n_pairs / dt
+
+    # int8 serving variant (ops/quant.py): same params, dense projections
+    # on the int8 MXU (2x bf16 peak).  Reported alongside — the headline
+    # stays bf16 for cross-round comparability; decision parity of the
+    # int8 path is proven in tests/test_quant.py
+    qbackbone = RobertaBackbone(cfg.replace(quant="int8"))
+
+    @jax.jit
+    def encode_all_q(p, ids, masks):
+        def body(_, xm):
+            x, m = xm
+            return 0, qbackbone.apply(p, x, m)[-1][:, 0]
+        _, embs = jax.lax.scan(body, 0, (ids, masks))
+        return embs.reshape(-1, H)
+
+    int8_pairs_per_sec = None
+    try:
+        cache = encode_all_q(params, ids, mask)
+        np.asarray(score_all(cache, src, tgt))
+        qtimes = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cache = encode_all_q(params, ids, mask)
+            np.asarray(score_all(cache, src, tgt))
+            qtimes.append(time.perf_counter() - t0)
+        int8_pairs_per_sec = n_pairs / min(qtimes)
+    except Exception:  # int8 path must never take down the headline bench
+        pass
+
     flagship = flagship_cross_encoder_pairs_per_sec(cfg)
     print(json.dumps({
         "metric": "two_tower_mining_throughput",
@@ -167,6 +196,8 @@ def main():
         # path; the two-tower number must never stand in for it)
         "flagship_cross_encoder_pairs_per_sec": round(flagship, 1),
         "flagship_mfu_vs_590_ideal": round(flagship / 590.0, 3),
+        "two_tower_mining_int8_pairs_per_sec":
+            round(int8_pairs_per_sec, 1) if int8_pairs_per_sec else None,
     }))
 
 

@@ -28,13 +28,36 @@ class TwoTowerInference:
     """
 
     def __init__(self, params, encode_fn: Callable, head_fn: Callable,
-                 batch_size: int = 256):
+                 batch_size: int = 256, cache_quant: Optional[str] = None):
+        """``cache_quant="int8"`` stores the embedding cache as int8 rows
+        with per-row absmax scales (ops/quant.py): half the cache HBM and
+        half the gather bandwidth on the scoring hot loop, at a <1e-2
+        probability perturbation (per-row symmetric quantization of
+        already-normalized tower outputs)."""
         self.params = params
         self._encode = jax.jit(encode_fn)
-        self._score = jax.jit(head_fn)
         self.batch_size = batch_size
         self.cache: Optional[jax.Array] = None
+        self.cache_scale: Optional[jax.Array] = None
+        self.cache_quant = cache_quant
         self.id_to_row: Dict[str, int] = {}
+
+        # gather + (dequant +) head in ONE jitted program: the eager
+        # per-batch jnp.take dispatches used to cost more than the score
+        # matmul itself through a remote device
+        def gather_score(params, cache, scale, src, tgt):
+            se = jnp.take(cache, src, axis=0)
+            te = jnp.take(cache, tgt, axis=0)
+            if scale is not None:
+                se = se.astype(jnp.float32) * jnp.take(scale, src, axis=0)
+                te = te.astype(jnp.float32) * jnp.take(scale, tgt, axis=0)
+            return head_fn(params, se, te)
+
+        self._score = jax.jit(head_fn)  # kept for direct-embedding callers
+        self._gather_score = jax.jit(gather_score)
+        self._gather_score_plain = jax.jit(
+            lambda params, cache, src, tgt:
+            gather_score(params, cache, None, src, tgt))
 
     def build_cache(self, item_ids, batches: Iterable[Dict[str, np.ndarray]]
                     ) -> jax.Array:
@@ -45,7 +68,13 @@ class TwoTowerInference:
             embs.append(np.asarray(self._encode(self.params, batch)))
         cache = np.concatenate(embs)[: len(item_ids)]
         self.id_to_row = {iid: i for i, iid in enumerate(item_ids)}
-        self.cache = jnp.asarray(cache)
+        if self.cache_quant == "int8":
+            from item_alignment_tpu.ops.quant import quantize_rowwise
+
+            self.cache, self.cache_scale = jax.jit(quantize_rowwise)(
+                jnp.asarray(cache))
+        else:
+            self.cache = jnp.asarray(cache)
         return self.cache
 
     def score_pairs(self, src_idx: np.ndarray, tgt_idx: np.ndarray
@@ -61,9 +90,15 @@ class TwoTowerInference:
         src = np.concatenate([src_idx, np.zeros(pad, src_idx.dtype)])
         tgt = np.concatenate([tgt_idx, np.zeros(pad, tgt_idx.dtype)])
         for s in range(0, n + pad, bs):
-            se = jnp.take(self.cache, jnp.asarray(src[s:s + bs]), axis=0)
-            te = jnp.take(self.cache, jnp.asarray(tgt[s:s + bs]), axis=0)
-            out.append(np.asarray(self._score(self.params, se, te)))
+            si = jnp.asarray(src[s:s + bs])
+            ti = jnp.asarray(tgt[s:s + bs])
+            if self.cache_scale is not None:
+                probs = self._gather_score(self.params, self.cache,
+                                           self.cache_scale, si, ti)
+            else:
+                probs = self._gather_score_plain(self.params, self.cache,
+                                                 si, ti)
+            out.append(np.asarray(probs))
         return np.concatenate(out)[:n]
 
     def score_pairs_by_id(self, pairs) -> np.ndarray:

@@ -107,6 +107,42 @@ def test_two_tower_inference_cache_matches_direct():
         assert abs(p - expect) < 1e-5
 
 
+def test_two_tower_inference_int8_cache_tracks_fp32():
+    """cache_quant='int8' halves cache HBM + gather bandwidth; per-row
+    symmetric quantization must keep the scored probabilities within a
+    small perturbation of the fp32 cache."""
+    H = 8
+    rs = np.random.RandomState(1)
+    W = rs.randn(2 * H, 2).astype(np.float32)
+    b = rs.randn(2).astype(np.float32)
+    proj = rs.randn(4, H).astype(np.float32)
+    params = {"params": {"classifier": {"out_proj": {"kernel": W, "bias": b}},
+                         "proj": proj}}
+
+    def encode_fn(params, batch):
+        return batch["x"] @ params["params"]["proj"]
+
+    def head_fn(params, se, te):
+        head = params["params"]["classifier"]["out_proj"]
+        logits = jnp.concatenate((se, te), -1) @ head["kernel"] + head["bias"]
+        return jax.nn.softmax(logits, -1)[:, 1]
+
+    n_items = 12
+    feats = rs.randn(n_items, 4).astype(np.float32)
+    ids = [f"i{k}" for k in range(n_items)]
+    batches = [{"x": jnp.array(feats[:6])}, {"x": jnp.array(feats[6:])}]
+    pairs = [("i0", "i3"), ("i2", "i9"), ("i5", "i5"), ("i7", "i1")]
+
+    fp = TwoTowerInference(params, encode_fn, head_fn, batch_size=4)
+    fp.build_cache(ids, batches)
+    q = TwoTowerInference(params, encode_fn, head_fn, batch_size=4,
+                          cache_quant="int8")
+    cache = q.build_cache(ids, batches)
+    assert cache.dtype == jnp.int8 and q.cache_scale is not None
+    np.testing.assert_allclose(q.score_pairs_by_id(pairs),
+                               fp.score_pairs_by_id(pairs), atol=0.01)
+
+
 def test_saliency_box_proposal_finds_product_on_plain_background():
     """propose_box_saliency (offline YOLO fallback): a product on a studio
     background yields its bounding box; a full-noise photo yields none."""
