@@ -183,6 +183,40 @@ def test_flagship_tp2_matches_tp1_logits():
     np.testing.assert_allclose(probs[2], probs[1], rtol=2e-5, atol=2e-6)
 
 
+def test_flagship_int8_eval_on_sharded_mesh():
+    """The int8 serving path (ops/quant.py) must survive GSPMD: with the
+    dense kernels tensor-sharded, the per-channel weight scales are local
+    to each shard's output columns and the per-token activation amax spans
+    the full feature axis (XLA inserts the collective); tp=2 int8 probs
+    must match the tp=1 int8 result."""
+    from item_alignment_tpu.models.text import RobertaOneTower
+
+    cfg = ModelConfig(hidden_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, intermediate_size=128,
+                      vocab_size=120, max_seq_len=8, max_seq_len_pv=8,
+                      max_position_embeddings=64, hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0, quant="int8")
+    model = RobertaOneTower(cfg)
+    rs = np.random.RandomState(3)
+    B, S = 8, cfg.pair_seq_len
+    batch = {
+        "input_ids": rs.randint(1, 120, (B, S)).astype(np.int32),
+        "attention_mask": np.ones((B, S), np.int32),
+        "labels": (np.arange(B) % 2).astype(np.int32),
+    }
+    probs = {}
+    for tensor in (1, 2):
+        tcfg = _tcfg(B, data=2, fsdp=2 // tensor, tensor=tensor)
+        trainer = Trainer(model, tcfg, mesh=_mesh(2, 2 // tensor, tensor))
+        trainer.setup(batch)
+        ev = {k: v for k, v in batch.items() if k != "labels"}
+        p, _, _ = trainer._eval_step(trainer.state.params,
+                                     trainer._device_batch(ev))
+        probs[tensor] = np.asarray(p)
+    assert np.isfinite(probs[1]).all()
+    np.testing.assert_allclose(probs[2], probs[1], rtol=2e-5, atol=2e-6)
+
+
 def test_sharded_checkpoint_roundtrip_222(tmp_path):
     """Full train-state save -> restore -> resume under a 2,2,2 mesh: the
     restored state reproduces the uninterrupted trajectory."""
