@@ -119,6 +119,32 @@ def test_pred_with_int8_quant(corpus, capsys):
     assert rows and all(np.isfinite(p) and 0.0 <= p <= 1.0 for p in probs)
 
 
+def test_mine_embedding_cache_serving(corpus, capsys):
+    """`mine` (beyond the reference): encode-once embedding-cache scoring
+    of a candidate pair list through the CLI, int8 cache variant included."""
+    raw = corpus / "raw"
+    for cq in (None, "int8"):
+        out = corpus / f"mine_{cq or 'fp'}.jsonl"
+        argv = ["mine", "--item_info", str(raw / "item_info.jsonl"),
+                "--pairs", str(raw / "item_test_pair.jsonl"),
+                "--output", str(out),
+                "--vocab_path", str(corpus / "vocab"),
+                "--model_name", "roberta_tiny",
+                "--config_file", str(corpus / "tiny.json"),
+                "--max_seq_len", "8", "--max_seq_len_pv", "8",
+                "--batch_size", "4", "--num_workers", "0",
+                "--allow_random_weights"]
+        if cq:
+            argv += ["--cache_quant", cq]
+        assert main(argv) == 0
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["pairs"] == 4
+        rows = [json.loads(l) for l in open(out)]
+        probs = [float(r["tgt_item_emb"].strip("[]")) for r in rows]
+        assert len(rows) == 4
+        assert all(np.isfinite(p) and 0.0 <= p <= 1.0 for p in probs)
+
+
 def test_quant_train_rejected(corpus):
     with pytest.raises(SystemExit):
         main(["finetune-text", "--data_dir", str(corpus / "processed"),
