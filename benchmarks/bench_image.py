@@ -26,6 +26,8 @@ def main():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--train", action="store_true",
                    help="pair two-tower train step instead of forward")
+    p.add_argument("--quant", default=None, choices=["int8"],
+                   help="int8 MXU path for the ViT MLP denses (inference)")
     args = p.parse_args()
 
     from item_alignment_tpu.config import ModelConfig
@@ -39,7 +41,8 @@ def main():
 
     cfg = ModelConfig(model_name=args.model, image_model_name=args.model,
                       image_size=size, interaction_type="two_tower",
-                      dtype="bfloat16", hidden_dropout_prob=0.0)
+                      dtype="bfloat16", hidden_dropout_prob=0.0,
+                      quant=args.quant)
     model = ImageTwoTower(cfg)
     n_iters = 4
     rng = jax.random.PRNGKey(0)

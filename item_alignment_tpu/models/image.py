@@ -56,19 +56,26 @@ class ViTBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.0
     dtype: Optional[Any] = None
+    quant: Optional[str] = None  # "int8": MLP denses on the int8 MXU
+    #                              (2/3 of the block's dense FLOPs; the
+    #                              MHDPA projections keep their DenseGeneral
+    #                              param layout for timm interop)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from item_alignment_tpu.models.encoder import QuantDense
+
+        dense = QuantDense if self.quant == "int8" else nn.Dense
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, name="attn", dtype=self.dtype,
             dropout_rate=self.dropout)(h, h, deterministic=deterministic)
         x = x + h
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
-                     name="mlp_fc1")(h)
+        h = dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                  name="mlp_fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
+        h = dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return x + h
 
@@ -84,6 +91,7 @@ class ViT(nn.Module):
     heads: int = 12
     dropout: float = 0.0
     dtype: Optional[Any] = None
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, images, deterministic: bool = True):
@@ -103,7 +111,8 @@ class ViT(nn.Module):
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         for i in range(self.depth):
             x = ViTBlock(self.dim, self.heads, dropout=self.dropout,
-                         dtype=self.dtype, name=f"block_{i}")(x, deterministic)
+                         dtype=self.dtype, quant=self.quant,
+                         name=f"block_{i}")(x, deterministic)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x[:, 0], x[:, 1:]
 
@@ -376,7 +385,7 @@ BACKBONES = {
     "vit": lambda cfg: ViT(image_size=cfg.image_size, patch_size=cfg.patch_size,
                            dropout=cfg.hidden_dropout_prob,
                            dtype=jnp.bfloat16 if cfg.dtype == "bfloat16"
-                           else None),
+                           else None, quant=cfg.quant),
     "resnet": lambda cfg: ResNetV2(),
     "nfnet": lambda cfg: NFNet(),
 }

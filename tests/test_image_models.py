@@ -27,6 +27,27 @@ def test_vit_shapes():
     assert tokens.shape == (2, 16, 32)
 
 
+def test_vit_int8_mlp_tracks_fp32():
+    """quant='int8' routes the ViT MLP denses through the int8 MXU path;
+    the param tree must stay identical (timm converter interop) and the
+    cls output must track the fp32 result."""
+    import numpy as np
+
+    fp = ViT(image_size=32, patch_size=8, dim=32, depth=2, heads=4)
+    q = ViT(image_size=32, patch_size=8, dim=32, depth=2, heads=4,
+            quant="int8")
+    imgs = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    params = fp.init(RNG, imgs)
+    qparams = q.init(RNG, imgs)
+    assert (jax.tree_util.tree_structure(qparams)
+            == jax.tree_util.tree_structure(params))
+    cls_fp, _ = fp.apply(params, imgs)
+    cls_q, _ = q.apply(params, imgs)
+    err = float(jnp.max(jnp.abs(cls_q - cls_fp)))
+    scale = float(jnp.max(jnp.abs(cls_fp))) + 1e-9
+    assert np.isfinite(err) and err < 0.05 * scale
+
+
 def test_std_conv_weight_standardization():
     m = StdConv(8, (3, 3))
     x = jnp.ones((1, 8, 8, 4))
