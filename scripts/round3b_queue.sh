@@ -85,6 +85,8 @@ run gcn_aot_compile 3600 python benchmarks/bench_gcn.py --train \
 run cross_encoder_int8 1800 python benchmarks/bench_cross_encoder.py --quant int8
 run cross_encoder_int8_bs128 1500 python benchmarks/bench_cross_encoder.py \
   --quant int8 --batch_size 128
+run image_mfu_vit_int8 1500 python benchmarks/bench_image.py \
+  --model vit_base_patch16_384 --quant int8
 # 9. headline refresh
 run bench_main 2400 python bench.py
 echo "=== [r3b] queue complete @ $(date +%s) ===" | tee -a "$OUT/queue.log"
