@@ -5,6 +5,11 @@
 # first (one TPU process at a time — the remote tunnel serializes
 # compiles).  Results land in $OUT; pipeline artifacts in $DATA_DIR.
 #
+# Order rationale: kernel validation gates pred-bert; the bench_train
+# sweep rows are short and carry VERDICT r2 #2's explicit ">=120 pairs/s"
+# bar, so they run before the long pipeline steps in case the tunnel
+# window is short.
+#
 #   DEADLINE=<unix_s> bash scripts/round3b_queue.sh
 set -uo pipefail
 cd "$(dirname "$0")/.."
@@ -42,19 +47,17 @@ run() { # run <name> <timeout_s> <cmd...>
 run tpu_kernel_tests 3000 env IA_TPU_TESTS=1 \
   python -m pytest tests/test_pallas_kernel_tpu.py -q
 
-# 2. finish the rehearsal pipeline: step 9 (GCN: pred-text encode +
-#    finetune-graph) died on the relay outage last session
-export IA="python -m item_alignment_tpu.cli" EPOCHS=1 KGE_EPOCHS=50 BERT_EPOCHS=1
-export JAX_COMPILATION_CACHE_DIR="$DATA_DIR/xla_cache"
-if [ "$DEADLINE" = 0 ] || [ "$(left)" -gt 2400 ]; then
-  echo "=== [r3b] step9-rerun @ $(date +%s) ===" | tee -a "$OUT/queue.log"
-  START_AT=9 timeout 3600 bash scripts/train.sh \
-    >> "$DATA_DIR/train_log_part3.txt" 2>&1
-  echo "=== [r3b] step9-rerun rc=$? @ $(date +%s) ===" | tee -a "$OUT/queue.log"
-fi
+# 2. batch sweep toward the >=120 pairs/s bar (VERDICT r2 #2; bs16 is
+#    flat at ~96) — short rows, run them before the long pipeline steps
+run train_bs32 1800 python benchmarks/bench_train.py --batch_size 32
+run train_bs64 2400 python benchmarks/bench_train.py --batch_size 64
+run train_bs64_remat 2400 python benchmarks/bench_train.py --batch_size 64 --remat
+run train_bs32_breakdown 1500 python benchmarks/bench_train.py --batch_size 32 --breakdown
 
 # 3. predict tail: nfnet (p5) + legacy bert (p6) members, then the full
 #    7-member ensemble + validated result.zip (last session packaged 5)
+export IA="python -m item_alignment_tpu.cli" EPOCHS=1 KGE_EPOCHS=50 BERT_EPOCHS=1
+export JAX_COMPILATION_CACHE_DIR="$DATA_DIR/xla_cache"
 if [ "$DEADLINE" = 0 ] || [ "$(left)" -gt 2400 ]; then
   echo "=== [r3b] predict-tail @ $(date +%s) ===" | tee -a "$OUT/queue.log"
   START_AT=p5 timeout 4800 bash scripts/predict.sh \
@@ -62,12 +65,14 @@ if [ "$DEADLINE" = 0 ] || [ "$(left)" -gt 2400 ]; then
   echo "=== [r3b] predict-tail rc=$? @ $(date +%s) ===" | tee -a "$OUT/queue.log"
 fi
 
-# 4. batch sweep toward the >=120 pairs/s bar (VERDICT r2 #2; bs16 is
-#    flat at ~96)
-run train_bs32 1800 python benchmarks/bench_train.py --batch_size 32
-run train_bs64 2400 python benchmarks/bench_train.py --batch_size 64
-run train_bs64_remat 2400 python benchmarks/bench_train.py --batch_size 64 --remat
-run train_bs32_breakdown 1500 python benchmarks/bench_train.py --batch_size 32 --breakdown
+# 4. finish the rehearsal pipeline: step 9 (GCN: pred-text encode +
+#    finetune-graph) died on the relay outage last session
+if [ "$DEADLINE" = 0 ] || [ "$(left)" -gt 2400 ]; then
+  echo "=== [r3b] step9-rerun @ $(date +%s) ===" | tee -a "$OUT/queue.log"
+  START_AT=9 timeout 3600 bash scripts/train.sh \
+    >> "$DATA_DIR/train_log_part3.txt" 2>&1
+  echo "=== [r3b] step9-rerun rc=$? @ $(date +%s) ===" | tee -a "$OUT/queue.log"
+fi
 
 # 5. KGE link-prediction eval at reference scale (VERDICT r2 #5)
 run kge_eval 2400 python benchmarks/bench_kge.py --epochs 2 --eval_triples 2000
