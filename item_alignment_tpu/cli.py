@@ -2032,6 +2032,19 @@ def cmd_pred_bert(argv: List[str]) -> int:
     params = load_params(args.params, params)
 
     eval_fn = jax.jit(lambda p, f: model.apply(p, f).probs)
+    # warm up one batch: a Pallas/Mosaic compile failure surfaces at XLA
+    # compile time, OUTSIDE ops/attention.py's call-time fallback — catch
+    # it here and fall back to XLA attention instead of aborting the
+    # whole predict pipeline
+    try:
+        wfields = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                   for k, v in unflatten_fields(dict(first)).items()}
+        np.asarray(eval_fn(params, wfields))
+    except Exception as e:
+        logger.warning(f"fused-attention compile failed ({e}); pred-bert "
+                       "falling back to XLA attention")
+        model = BertAlignModel(cfg.replace(use_flash_attention=False))
+        eval_fn = jax.jit(lambda p, f: model.apply(p, f).probs)
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     with open(args.output, "w", encoding="utf-8") as w:
         i = 0
