@@ -1023,7 +1023,10 @@ def cmd_mine(argv: List[str]) -> int:
                 f"--file_state_dict {args.file_state_dict} does not exist")
         from item_alignment_tpu.engine.checkpoint import load_params
 
-        params = load_params(args.file_state_dict, params)
+        # finetune-text serializes the INNER variables["params"] tree
+        # (Trainer._init_params), not the full init tree
+        params = {"params": load_params(args.file_state_dict,
+                                        params["params"])}
 
     backbone = RobertaBackbone(cfg)
     head = TwoTowerClassificationHead(dropout_rate=0.0,

@@ -121,8 +121,25 @@ def test_pred_with_int8_quant(corpus, capsys):
 
 def test_mine_embedding_cache_serving(corpus, capsys):
     """`mine` (beyond the reference): encode-once embedding-cache scoring
-    of a candidate pair list through the CLI, int8 cache variant included."""
+    of a candidate pair list through the CLI with TRAINED two-tower
+    weights (exercises the inner-params-tree restore), int8 cache variant
+    included."""
     raw = corpus / "raw"
+    out_dir = corpus / "output_tt"
+    rc = main([
+        "finetune-text", "--data_dir", str(corpus / "processed"),
+        "--output_dir", str(out_dir),
+        "--vocab_path", str(corpus / "vocab"),
+        "--model_name", "roberta_tiny", "--interaction_type", "two_tower",
+        "--config_file", str(corpus / "tiny.json"),
+        "--max_seq_len", "8", "--max_seq_len_pv", "8",
+        "--train_batch_size", "8", "--eval_batch_size", "8",
+        "--epochs", "1", "--do_train", "--do_eval"])
+    assert rc == 0
+    capsys.readouterr()
+    state = (out_dir / "roberta_tiny-v1-two_tower-cls-NA-ce"
+             / "best_f1.msgpack")
+    assert state.exists()
     for cq in (None, "int8"):
         out = corpus / f"mine_{cq or 'fp'}.jsonl"
         argv = ["mine", "--item_info", str(raw / "item_info.jsonl"),
@@ -133,7 +150,7 @@ def test_mine_embedding_cache_serving(corpus, capsys):
                 "--config_file", str(corpus / "tiny.json"),
                 "--max_seq_len", "8", "--max_seq_len_pv", "8",
                 "--batch_size", "4", "--num_workers", "0",
-                "--allow_random_weights"]
+                "--file_state_dict", str(state)]
         if cq:
             argv += ["--cache_quant", cq]
         assert main(argv) == 0
