@@ -864,23 +864,23 @@ def cmd_ensemble(argv: List[str]) -> int:
     )
 
     def load(spec_json):
-        import glob as _glob
         out = []
         for model_dir, thr, f1 in json.loads(spec_json):
             base = os.path.join(args.data_dir, "output", model_dir)
             path = os.path.join(base, args.input_file)
             if not os.path.exists(path):
                 # members predicted at a different --threshold write
-                # differently named files; accept an unambiguous one rather
-                # than failing (or silently reading a stale default)
-                cands = sorted(_glob.glob(
-                    os.path.join(base, "deepAI_result_threshold=*.jsonl")))
-                if len(cands) == 1:
-                    path = cands[0]
+                # differently named files; accept ONLY the file matching
+                # this member's own spec threshold — an arbitrary leftover
+                # (even an unambiguous one) could be a stale prediction
+                # from an earlier run
+                cand = os.path.join(
+                    base, f"deepAI_result_threshold={float(thr)}.jsonl")
+                if os.path.exists(cand):
+                    path = cand
                 else:
                     raise FileNotFoundError(
-                        f"{path} not found and {len(cands)} candidate "
-                        f"prediction files in {base}: {cands}")
+                        f"neither {path} nor {cand} exists in {base}")
             out.append((read_prediction_file(path), float(thr), float(f1)))
         return out
 
@@ -1399,7 +1399,8 @@ def cmd_finetune_image(argv: List[str]) -> int:
                         "tracking under --do_eval)")
     p.add_argument("--image_size", type=int, default=288)
     args = p.parse_args(argv)
-    if "--eval_batch_size" not in argv:
+    if not any(a == "--eval_batch_size" or a.startswith("--eval_batch_size=")
+               for a in argv):
         # the shared text default (64) OOMs a 16GB chip for 800-1000px
         # image forwards; the train batch is known to fit (its fwd+bwd
         # does), so eval/predict default to it
@@ -2042,8 +2043,13 @@ def cmd_pred_bert(argv: List[str]) -> int:
     try:
         wfields = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
                    for k, v in unflatten_fields(dict(first)).items()}
-        np.asarray(eval_fn(params, wfields))
+        _retry_transient(lambda: np.asarray(eval_fn(params, wfields)))
     except Exception as e:
+        from item_alignment_tpu.utils.retry import TRANSIENT_MARKERS
+        if any(t in str(e) for t in TRANSIENT_MARKERS):
+            # the relay/tunnel is down, not the kernel — an XLA-attention
+            # fallback would fail the same way; surface the outage instead
+            raise
         logger.warning(f"fused-attention compile failed ({e}); pred-bert "
                        "falling back to XLA attention")
         model = BertAlignModel(cfg.replace(use_flash_attention=False))

@@ -40,23 +40,15 @@ def _head_group(n_heads: int, max_group: int) -> int:
                 if n_heads % g == 0)
 
 
-def _bound_shift(q, k, scale: float):
-    """Per-row upper bound on the scores via Cauchy-Schwarz:
-    ``C_i = scale * ||q_i|| * max_j ||k_j|| >= max_j s_ij`` (additive mask
-    bias is <= 0 so it never raises the max).
-
-    Replaces the exact per-row max — a LANE-axis reduction over the whole
-    [S, S] score tile, the single most expensive VPU op in the kernel —
-    with reductions over the [S, H] inputs (8x narrower).  ``exp(s - C)``
-    stays exact softmax: the bound's slack (<= 2*scale*||q||*||k||, tens
-    for trained encoders) only shifts values within fp32's ~e^-87 range;
-    keys that far below the row max contribute nothing to softmax anyway.
-    """
-    qn = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=-1,
-                          keepdims=True))                      # [S, 1]
-    kn = jnp.sum(k.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
-    k_max = jnp.sqrt(jnp.max(kn))                              # scalar
-    return qn * (scale * k_max)                                # [S, 1]
+# NOTE on the softmax shift: an earlier revision replaced the exact
+# per-row max (a lane-axis reduction over the [S, S] score tile) with a
+# Cauchy-Schwarz upper bound computed from the [S, H] inputs.  That bound's
+# slack is scale*(||q_i||*max_j||k_j|| - max_j q_i.k_j); for trained
+# encoders with grown q/k norms but a weakly-aligned row it can exceed
+# fp32's ~e^-87 exp range, at which point EVERY exp(s - C) term underflows
+# and the denom clamp silently emits an all-zero attention row (and a
+# garbage lse for the backward).  The exact max costs a few percent of the
+# kernel; correct-for-all-inputs wins.
 
 
 def _row_sum_mxu(p):
@@ -81,9 +73,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [S, S] fp32 accumulation
         scores = scores * scale + bias
-        p = jnp.exp(scores - _bound_shift(q, k, scale))
-        # fully-masked rows: denom would be 0 (the old exact-max path gave
-        # uniform probs); clamp so they produce zeros, not NaN
+        m = jnp.max(scores, axis=-1, keepdims=True)        # exact row max
+        p = jnp.exp(scores - m)
         denom = jnp.maximum(_row_sum_mxu(p), 1e-37)
         o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -198,12 +189,12 @@ def _attn_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale + bias
-        shift = _bound_shift(q, k, scale)
-        p = jnp.exp(scores - shift)
+        m = jnp.max(scores, axis=-1, keepdims=True)        # exact row max
+        p = jnp.exp(scores - m)
         denom = jnp.maximum(_row_sum_mxu(p), 1e-37)
         # per-row logsumexp saved for the backward (skips its max+sum
         # recompute — VERDICT r2 "train MFU" item b)
-        lse_ref[0, h:h + 1, :] = (shift + jnp.log(denom)).reshape(1, S)
+        lse_ref[0, h:h + 1, :] = (m + jnp.log(denom)).reshape(1, S)
         if rate > 0.0:
             # one draw per head, in head order — the backward kernel
             # replays the identical sequence
@@ -407,20 +398,24 @@ def _flash_tile_seed(seed_ref, b, g, qi, ki, n_q, n_kv, n_groups):
     pltpu.prng_seed(seed_ref[0], cell)
 
 
-def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, shift_ref,
-                  o_ref, lse_ref, l_scratch, acc_scratch, *,
+def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
+                  o_ref, lse_ref, m_scratch, l_scratch, acc_scratch, *,
                   scale: float, heads_in_cell: int, head_dim: int,
                   rate: float):
-    """Blocked forward with a PRECOMPUTED per-row shift (the Cauchy-Schwarz
-    score bound, built in one cheap XLA pass over [B, N, S]) instead of the
-    online running max: no per-block [bq, bkv] lane-axis max reduction, no
-    rescale of the accumulator — the shift is a global upper bound, so
-    partial sums never need re-normalizing."""
+    """Blocked forward with the canonical online softmax: each kv block
+    folds its row max into the running (m, l, acc) triple with an
+    exp(m_prev - m_new) rescale.  (An earlier revision used a precomputed
+    global Cauchy-Schwarz score bound to skip the running max; see the
+    underflow note above _row_sum_mxu for why the exact max is required.)"""
     kv_i = pl.program_id(3)
     n_kv = pl.num_programs(3)
 
     @pl.when(kv_i == 0)
     def _init():
+        # finite lower sentinel (NOT -inf: -inf - -inf = nan in the alpha
+        # rescale); any real score, even a fully-masked one at bias=-1e9,
+        # immediately dominates it and alpha underflows cleanly to 0
+        m_scratch[...] = jnp.full_like(m_scratch, -1e30)
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
@@ -434,30 +429,32 @@ def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, shift_ref,
         q = q_ref[0][:, sl]
         k = k_ref[0][:, sl]
         v = v_ref[0][:, sl]
-        shift = shift_ref[0, h, :].reshape(-1, 1)          # [bq, 1]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale + bias  # [bq, bkv]
-        p = jnp.exp(s - shift)
+        m_prev = m_scratch[h][:, :1]                       # [bq, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)                    # [bq, 1]
+        p = jnp.exp(s - m_new)
         # l accumulates UNdropped mass (the softmax denominator); dropout
         # multiplies the normalized probabilities, which commutes with /l
-        l_new = l_scratch[h][:, :1] + _row_sum_mxu(p)
+        l_new = l_scratch[h][:, :1] * alpha + _row_sum_mxu(p)
         if rate > 0.0:
             p = p * _keep_scale(pltpu.prng_random_bits(p.shape), rate)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # [bq, H]
-        acc_scratch[:, sl] += pv
+        acc_scratch[:, sl] = acc_scratch[:, sl] * alpha + pv
+        m_scratch[h] = jnp.broadcast_to(m_new, m_scratch[h].shape)
         l_scratch[h] = jnp.broadcast_to(l_new, l_scratch[h].shape)
 
     @pl.when(kv_i == n_kv - 1)
     def _final():
         for h in range(heads_in_cell):
             sl = slice(h * head_dim, (h + 1) * head_dim)
-            shift = shift_ref[0, h, :].reshape(-1, 1)
             l_fin = jnp.maximum(l_scratch[h][:, :1], 1e-37)
             o_ref[0, :, sl] = (acc_scratch[:, sl] / l_fin).astype(o_ref.dtype)
-            lse = shift + jnp.log(l_fin)                   # [bq, 1]
+            lse = m_scratch[h][:, :1] + jnp.log(l_fin)     # [bq, 1]
             lse_ref[0, h:h + 1, :] = lse.reshape(1, -1)
 
 
@@ -582,21 +579,11 @@ def _flash_shapes(q, bias, block_q, block_kv):
     return B, S, N, H, group, bias_rows, q_spec, kv_spec, bias_spec, stat_spec
 
 
-def _global_bound_shift(q, k, scale: float):
-    """[B, N, S] per-row Cauchy-Schwarz score bound (see _bound_shift),
-    computed as one cheap XLA pass over the [B, S, N, H] inputs."""
-    qn = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=-1))   # [B,S,N]
-    kmax = jnp.sqrt(jnp.max(jnp.sum(k.astype(jnp.float32) ** 2, axis=-1),
-                            axis=1))                              # [B,N]
-    return qn.transpose(0, 2, 1) * (scale * kmax)[:, :, None]
-
-
 def _flash_blockwise_impl(rate, seed, q, k, v, bias, block_q, block_kv):
     (B, S, N, H, group, bias_rows, q_spec, kv_spec, bias_spec,
      stat_spec) = _flash_shapes(q, bias, block_q, block_kv)
     scale = 1.0 / (H ** 0.5)
     qt, kt, vt = (x.reshape(B, S, N * H) for x in (q, k, v))
-    shift = _global_bound_shift(q, k, scale)
     out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, heads_in_cell=group,
                           head_dim=H, rate=rate),
@@ -604,9 +591,10 @@ def _flash_blockwise_impl(rate, seed, q, k, v, bias, block_q, block_kv):
                    jax.ShapeDtypeStruct((B, N, S), jnp.float32)),
         grid=(B, N // group, S // block_q, S // block_kv),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  q_spec, kv_spec, kv_spec, bias_spec, stat_spec],
+                  q_spec, kv_spec, kv_spec, bias_spec],
         out_specs=(q_spec, stat_spec),
         scratch_shapes=[
+            pltpu.VMEM((group, block_q, _LANES), jnp.float32),  # m
             pltpu.VMEM((group, block_q, _LANES), jnp.float32),  # l
             pltpu.VMEM((block_q, group * H), jnp.float32),      # acc
         ],
@@ -615,7 +603,7 @@ def _flash_blockwise_impl(rate, seed, q, k, v, bias, block_q, block_kv):
             bytes_accessed=4 * B * S * N * H * q.dtype.itemsize,
             transcendentals=B * N * S * S,
         ),
-    )(jnp.asarray(seed, jnp.int32).reshape(1), qt, kt, vt, bias_rows, shift)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), qt, kt, vt, bias_rows)
     return out.reshape(B, S, N, H), lse
 
 

@@ -31,11 +31,8 @@ def main(data_dir):
     durations = {}   # step -> seconds (last completed instance wins)
     order = []
     for path in logs:
-        marks = parse_marks(open(path, errors="replace").read())
-        skipped = set()
-        for ln in open(path, errors="replace"):
-            pass
         text = open(path, errors="replace").read()
+        marks = parse_marks(text)
         for (name, t0), (_, t1) in zip(marks, marks[1:]):
             if name.startswith(("train.sh", "predict.sh")):
                 continue
@@ -45,7 +42,6 @@ def main(data_dir):
             first_line_after = seg.splitlines()[1] if len(
                 seg.splitlines()) > 1 else ""
             if "(skipped" in first_line_after:
-                skipped.add(name)
                 continue
             if name not in order:
                 order.append(name)

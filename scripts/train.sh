@@ -71,14 +71,16 @@ step 4-pkgm-finetune
 # 4. pkgm_large one-tower (seq 64, max_pvs 30, effective batch 256).
 #    bs 256 in one step is an 80GB-GPU shape: the 258k-entity KG table's
 #    AdamW state alone holds ~12.5 GB of the 16 GB chip, so the batch runs
-#    as 4 accumulated micro-steps with full-remat activations
+#    as 4 accumulated micro-steps of 64 with full-remat activations
+#    (optax.MultiSteps accumulates k FULL dispatches, so the per-dispatch
+#    batch must be 256/4 — not 256 — to keep the reference's effective 256)
 g $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
   --vocab_path "$VOCAB" --config_file "$CONFIGS"/pkgm_large.json \
   --pretrained_model_path "$PRETRAINED" \
   --entity2id "$DATA_DIR/processed/entity2id.txt" \
   --relation2id "$DATA_DIR/processed/relation2id.txt" \
   --model_name pkgm_large --data_version v3.4 \
-  --max_seq_len 64 --max_pvs 30 --train_batch_size 256 \
+  --max_seq_len 64 --max_pvs 30 --train_batch_size 64 \
   --gradient_accumulation_steps 4 --remat --remat_policy full \
   --learning_rate 5e-5 --epochs "$EPOCHS" --bf16 --do_train
 

@@ -312,3 +312,28 @@ def test_kernel_12_heads_grads():
     for a, b in zip(g1, g2):
         denom = max(float(jnp.abs(jnp.asarray(b)).max()), 1.0)
         assert float(jnp.abs(a - b).max()) / denom < 2e-2
+
+
+def test_kernel_large_norm_rows_no_underflow():
+    """Regression: grown q/k norms with a weakly-aligned row.  The retired
+    Cauchy-Schwarz shift could sit >87 above the true row max there, at
+    which point every exp(s - C) term underflowed in fp32 and the denom
+    clamp silently emitted an all-zero attention row (plus a garbage lse
+    for the backward).  The exact-max kernels must match XLA on these
+    inputs; on the broken revision this test's rows came back zero."""
+    from item_alignment_tpu.ops.attention import dot_product_attention
+    from item_alignment_tpu.ops.pallas_attention import (
+        fused_attention, fused_attention_blockwise,
+    )
+
+    q, k, v, bias = _inputs(S=512, dtype=jnp.float32)
+    q, k = q * 24.0, k * 24.0  # scale*||q||*||k|| >> exp range
+    ref = np.asarray(dot_product_attention(q, k, v, bias))
+    out = np.asarray(fused_attention(q, k, v, bias))
+    assert np.abs(ref - out).max() < 2e-2
+    # a valid softmax row sums to ~1 against v; all-zero rows would make
+    # output norms collapse — check no valid row is zero
+    assert np.abs(out[:, :400]).max(axis=(2, 3)).min() > 1e-4
+    blk = np.asarray(fused_attention_blockwise(q, k, v, bias,
+                                               block_q=128, block_kv=128))
+    assert np.abs(ref - blk).max() < 2e-2

@@ -3,9 +3,10 @@ train.sh's START_AT mid-pipeline resume gating.
 
 The reference pipeline (predict.sh -> model_ensemble.py) reads one fixed
 ``--input_file`` name per member; members predicted at another --threshold
-write differently named files, so cmd_ensemble accepts a single unambiguous
-``deepAI_result_threshold=*.jsonl`` candidate and refuses ambiguous dirs
-(round-2 advisor finding on scripts/predict.sh:60).
+write differently named files, so cmd_ensemble falls back to the file named
+by THAT member's own spec threshold — never an arbitrary leftover, which
+could be a stale prediction from an earlier run (round-2 advisor finding on
+scripts/predict.sh:60, tightened in round 3).
 """
 
 import json
@@ -38,9 +39,9 @@ def _run_ensemble(data_dir, models):
                      "--models", json.dumps(models)])
 
 
-def test_ensemble_accepts_unambiguous_threshold_file(tmp_path, capsys):
+def test_ensemble_accepts_member_threshold_file(tmp_path, capsys):
     # textcnn predicted at --threshold 0.6: file name differs from the
-    # default --input_file but is the only candidate -> used
+    # default --input_file but matches the member's spec threshold -> used
     _member(tmp_path, "m_a", "deepAI_result_threshold=0.4.jsonl", [0.9, 0.2])
     _member(tmp_path, "m_b", "deepAI_result_threshold=0.6.jsonl", [0.8, 0.1])
     rc = _run_ensemble(tmp_path, [["m_a", 0.5, 0.9], ["m_b", 0.6, 0.7]])
@@ -50,11 +51,25 @@ def test_ensemble_accepts_unambiguous_threshold_file(tmp_path, capsys):
     assert os.path.exists(out["output"])
 
 
-def test_ensemble_rejects_ambiguous_candidates(tmp_path):
-    _member(tmp_path, "m_c", "deepAI_result_threshold=0.5.jsonl", [0.9])
+def test_ensemble_rejects_leftover_from_other_threshold(tmp_path):
+    # the member dir holds ONLY a file from some earlier run at a different
+    # threshold: a stale prediction must never silently substitute for the
+    # requested one, unambiguous or not
     _member(tmp_path, "m_c", "deepAI_result_threshold=0.6.jsonl", [0.9])
     with pytest.raises(FileNotFoundError):
         _run_ensemble(tmp_path, [["m_c", 0.5, 0.9]])
+
+
+def test_ensemble_spec_threshold_file_wins_over_leftovers(tmp_path, capsys):
+    # both a stale 0.6 file and the member's own 0.5 file exist: the spec
+    # threshold picks the right one (the old single-candidate fallback
+    # raised on this dir; the older-still one could read the stale file)
+    _member(tmp_path, "m_d", "deepAI_result_threshold=0.6.jsonl", [0.1])
+    _member(tmp_path, "m_d", "deepAI_result_threshold=0.5.jsonl", [0.9])
+    rc = _run_ensemble(tmp_path, [["m_d", 0.5, 0.9]])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pairs"] == 1
 
 
 def test_train_sh_start_at_skips_completed_steps(tmp_path):
