@@ -24,14 +24,26 @@ IMG_SIZE=${IMG_SIZE:-800}
 IMG_EMB_SIZE=${IMG_EMB_SIZE:-288}
 
 # START_AT=<step-name-prefix> resumes mid-pipeline: steps before it are
-# printed but skipped (their artifacts must already exist from a prior run)
+# printed but skipped (their artifacts must already exist from a prior run).
+# STOP_AFTER=<step-name-prefix> exits once that step completes, so a single
+# member can be (re-)measured without running the pipeline's tail.
 START_AT=${START_AT:-}
+STOP_AFTER=${STOP_AFTER:-}
 RUN=1
+DONE_STOP=0
 [ -n "$START_AT" ] && RUN=0
 step() {
+  if [ "$DONE_STOP" = 1 ]; then
+    # print the mark so log summarizers can bound the stopped step's time
+    echo "=== [train.sh] step $* @ $(date +%s) ==="
+    echo "    (stopping: STOP_AFTER=$STOP_AFTER)"
+    exit 0
+  fi
   if [ "$RUN" = 0 ] && [[ "$1" == "$START_AT"* ]]; then RUN=1; fi
   echo "=== [train.sh] step $* @ $(date +%s) ==="
   [ "$RUN" = 1 ] || echo "    (skipped: START_AT=$START_AT)"
+  if [ -n "$STOP_AFTER" ] && [ "$RUN" = 1 ] && [[ "$1" == "$STOP_AFTER"* ]]
+  then DONE_STOP=1; fi
 }
 g() { if [ "$RUN" = 1 ]; then "$@"; fi; }
 

@@ -131,3 +131,21 @@ def test_retry_transient_reraises_non_transient():
 
     with pytest.raises(ValueError):
         _retry_transient(bad, attempts=4, wait=0.0)
+
+
+def test_train_sh_stop_after_exits_after_step(tmp_path):
+    env = dict(os.environ, IA="echo IA-CMD", DATA_DIR=str(tmp_path),
+               START_AT="4", STOP_AFTER="4", EPOCHS="1", KGE_EPOCHS="1",
+               BERT_EPOCHS="1")
+    proc = subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", "train.sh")],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=60)
+    assert proc.returncode == 0, proc.stderr
+    lines = proc.stdout.splitlines()
+    # step 4 runs, step 5's mark still prints (it bounds step 4's duration
+    # for the log summarizer) followed by the stop note, nothing after
+    cmds = [ln for ln in lines if ln.startswith("IA-CMD")]
+    assert cmds and all("finetune-text" in c for c in cmds)
+    assert any("(stopping: STOP_AFTER=4)" in ln for ln in lines)
+    assert not any("textcnn" in c for c in cmds)
