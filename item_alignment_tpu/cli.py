@@ -380,8 +380,17 @@ def _load_image_embedding(args):
 
     out_path = os.path.join(args.output_dir, "image_embedding.json")
     if os.path.isfile(out_path):
-        with open(out_path, encoding="utf-8") as r:
-            emb = json.load(r)
+        from item_alignment_tpu.data.native_loader import read_embedding_spans
+        spans = read_embedding_spans(out_path)
+        if spans is not None:
+            # native offset scan: ids + raw array text sliced straight out
+            # of the file — no json.load (minutes + GBs of boxed floats at
+            # reference scale), no reformatting
+            emb = dict(spans)
+        else:
+            with open(out_path, encoding="utf-8") as r:
+                emb = {k: ",".join(f"{float(x):.9g}" for x in v)
+                       for k, v in json.load(r).items()}
         logger.info(f"loaded image embeddings for {len(emb)} items")
         return emb
 

@@ -114,47 +114,88 @@ def device_resize_normalize(images_u8, image_size: int):
 
 
 # ---------------------------------------------------------- offline dumps
+def embedding_texts(mat: np.ndarray) -> List[str]:
+    """[n, d] floats -> canonical comma-joined ASCII rows (%.9g, fp32
+    round-trip exact) — the form the finetune TSVs embed and the
+    ``image_embedding.json`` arrays serialize to.  Native formatter with a
+    pure-Python fallback."""
+    from item_alignment_tpu.data.native_loader import format_rows
+
+    texts = format_rows(mat)
+    if texts is None:
+        texts = [",".join(f"{float(x):.9g}" for x in row) for row in mat]
+    return texts
+
+
+def write_embedding_json(ids: Sequence[str], texts: Sequence[str],
+                         out_path: str) -> None:
+    """``image_embedding.json`` {item_id: [floats...]} from prebuilt row
+    texts (load_image_embedding contract, data_prepare.py:275-364)."""
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w", encoding="utf-8") as w:
+        w.write("{")
+        for i, (iid, text) in enumerate(zip(ids, texts)):
+            if i:
+                w.write(",")
+            # ensure_ascii=False keeps UTF-8 ids literal (the native span
+            # reader handles raw UTF-8 keys but bails on \u escapes)
+            w.write(f"{json.dumps(iid, ensure_ascii=False)}: [{text}]")
+        w.write("}")
+
+
 def dump_image_embeddings(item_ids: Sequence[str],
                           image_paths: Sequence[str],
                           encode_fn: Callable[[np.ndarray], np.ndarray],
                           out_path: str, image_size: int = 288,
                           batch_size: int = 32,
                           missing_dim: Optional[int] = None
-                          ) -> Dict[str, List[float]]:
+                          ) -> Dict[str, str]:
     """Run an image tower over all items, write ``image_embedding.json``
     {item_id: embedding} (load_image_embedding, data_prepare.py:275-364).
+
+    Returns {item_id: "v,v,..."} ASCII embedding TEXT — the form both the
+    TSV builder and the JSON dump consume.  Embeddings stay in one float32
+    matrix end-to-end: the previous per-value ``float()`` + ``json.dump``
+    built ~10^8 boxed floats at reference scale and dominated the image
+    prep step (measured, rehearsal step 6a).
 
     With ``missing_dim`` set, broken/missing images get a zero embedding of
     that size (the reference's ``img_emb_missing``, data_prepare.py:304);
     otherwise they are skipped."""
-    result: Dict[str, List[float]] = {}
+    ids: List[str] = []
+    mats: List[np.ndarray] = []
+    missing_ids: List[str] = []
     batch_imgs, batch_ids = [], []
-    missing = ([0.0] * missing_dim) if missing_dim else None
 
     def flush():
         if not batch_imgs:
             return
-        embs = encode_fn(np.stack(batch_imgs))
-        for iid, e in zip(batch_ids, np.asarray(embs)):
-            result[iid] = [float(x) for x in e]
+        mats.append(np.asarray(encode_fn(np.stack(batch_imgs)), np.float32))
+        ids.extend(batch_ids)
         batch_imgs.clear()
         batch_ids.clear()
 
     for iid, path in zip(item_ids, image_paths):
         img = load_image(path)
         if img is None:
-            if missing is not None:
-                result[iid] = list(missing)
+            if missing_dim:
+                missing_ids.append(iid)
             continue
         batch_imgs.append(eval_transform(img, image_size))
         batch_ids.append(iid)
         if len(batch_imgs) == batch_size:
             flush()
     flush()
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    with open(out_path, "w", encoding="utf-8") as w:
-        json.dump(result, w)
-    return result
+    mat = (np.concatenate(mats, axis=0) if mats
+           else np.zeros((0, missing_dim or 0), np.float32))
+    if missing_ids:
+        dim = mat.shape[1] if mat.size else missing_dim
+        mat = np.concatenate(
+            [mat, np.zeros((len(missing_ids), dim), np.float32)], axis=0)
+        ids.extend(missing_ids)
+    texts = embedding_texts(mat)
+    write_embedding_json(ids, texts, out_path)
+    return dict(zip(ids, texts))
 
 
 def write_image_shards(pairs: Iterable[Tuple[str, np.ndarray, np.ndarray, int]],

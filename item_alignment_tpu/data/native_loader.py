@@ -56,6 +56,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.count_char.restype = ctypes.c_int64
     lib.count_char.argtypes = [ctypes.c_char_p, ctypes.c_char]
+    lib.format_float_rows.restype = ctypes.c_int64
+    lib.format_float_rows.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_char,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.emb_json_spans.restype = ctypes.c_int64
+    lib.emb_json_spans.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -104,6 +112,80 @@ def read_tsv_fast(path: str) -> List[Tuple[str, ...]]:
         finally:
             mm.close()
     return rows
+
+
+def format_rows(mat: np.ndarray, sep: str = ",",
+                chunk: int = 4096) -> Optional[List[str]]:
+    """[n, d] floats -> ["v,v,...", ...] ASCII rows (%.9g, fp32
+    round-trip exact) through the native formatter; None when the native
+    lib is unavailable (callers fall back to Python formatting).  Chunked
+    so the staging buffer stays ~150 MB at embedding widths."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    mat = np.ascontiguousarray(mat, np.float32)
+    if mat.ndim != 2:
+        raise ValueError(f"expected [n, d], got {mat.shape}")
+    n, d = mat.shape
+    out: List[str] = []
+    for i in range(0, n, chunk):
+        sub = np.ascontiguousarray(mat[i:i + chunk])
+        cap = int(sub.size) * 16 + len(sub)
+        buf = np.empty(cap, np.uint8)
+        ends = np.empty(len(sub), np.int64)
+        total = lib.format_float_rows(
+            sub.ctypes.data_as(ctypes.c_void_p), len(sub), d,
+            sep.encode()[:1], buf.ctypes.data_as(ctypes.c_void_p), cap,
+            ends.ctypes.data_as(ctypes.c_void_p))
+        assert total >= 0, f"format_float_rows failed: {total}"
+        raw = buf[:total].tobytes()
+        start = 0
+        for e in ends:
+            out.append(raw[start:int(e)].decode("ascii"))
+            start = int(e)
+    return out
+
+
+def read_embedding_spans(path: str) -> Optional[List[Tuple[str, str]]]:
+    """Offset-scan an ``{"id": [floats...]}`` JSON map and return
+    [(id, "v,v,...")] with the array text sliced verbatim (spaces
+    stripped, so reference-written ", "-separated dumps normalize to the
+    TSV embedding form).  None -> caller should json.load instead (native
+    lib unavailable, or the file has escapes/nesting the scanner refuses).
+    """
+    lib = get_lib()
+    if lib is None or os.path.getsize(path) == 0:
+        return None
+    n = ctypes.c_int64()
+    rc = lib.emb_json_spans(path.encode(), ctypes.byref(n),
+                            None, None, None, None)
+    if rc != 0:
+        logger.warning(f"emb_json_spans({path}) -> {rc}; using json.load")
+        return None
+    ks = np.empty(n.value, np.int64)
+    ke = np.empty(n.value, np.int64)
+    vs = np.empty(n.value, np.int64)
+    ve = np.empty(n.value, np.int64)
+    rc = lib.emb_json_spans(path.encode(), ctypes.byref(n),
+                            ks.ctypes.data_as(ctypes.c_void_p),
+                            ke.ctypes.data_as(ctypes.c_void_p),
+                            vs.ctypes.data_as(ctypes.c_void_p),
+                            ve.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        return None
+    out: List[Tuple[str, str]] = []
+    with open(path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            for i in range(n.value):
+                key = mm[ks[i]:ke[i]].decode("utf-8")
+                val = mm[vs[i]:ve[i]].decode("ascii")
+                if " " in val or "\n" in val:
+                    val = "".join(val.split())
+                out.append((key, val))
+        finally:
+            mm.close()
+    return out
 
 
 def count_lines(path: str) -> int:

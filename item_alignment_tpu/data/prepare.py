@@ -253,8 +253,15 @@ def segment_title(title: str) -> str:
     return " ".join(jieba.cut(title))
 
 
+def emb_text(e) -> str:
+    """Embedding -> the TSV's comma-joined ASCII form.  Accepts either the
+    preformatted text ``dump_image_embeddings`` now returns (formatted once
+    per ITEM, natively) or a raw float sequence (legacy json.load path)."""
+    return e if isinstance(e, str) else ",".join(str(x) for x in e)
+
+
 def build_finetune_pairs(id_dict: Dict, relation_count: Dict, pair_path: str,
-                         img_emb: Optional[Dict[str, Sequence[float]]] = None,
+                         img_emb: Optional[Dict[str, object]] = None,
                          default_label: Optional[str] = None) -> List[Tuple]:
     """Labeled pair jsonl -> TSV rows (label, src_id, src_title, src_pvs
     [, src_img], tgt_id, tgt_title, tgt_pvs[, tgt_img]) with jieba-cut
@@ -274,8 +281,8 @@ def build_finetune_pairs(id_dict: Dict, relation_count: Dict, pair_path: str,
             if label is None:
                 label = "0"
             if img_emb is not None:
-                se = ",".join(str(x) for x in img_emb[sid])
-                te = ",".join(str(x) for x in img_emb[tid])
+                se = emb_text(img_emb[sid])
+                te = emb_text(img_emb[tid])
                 rows.append((label, sid, src_title, src_pvs, se,
                              tid, tgt_title, tgt_pvs, te))
             else:
@@ -328,10 +335,8 @@ def augment_easy_negatives(id_dict: Dict, relation_count: Dict,
             pvs2 = order_pvs_single(d2.get("pvs", {}), relation_count, d2["cate_name"])
             t1, t2 = d1.get("title", ""), d2.get("title", "")
             if img_emb is not None:
-                rows.append(("0", id1, t1, pvs1,
-                             ",".join(str(x) for x in img_emb[id1]),
-                             id2, t2, pvs2,
-                             ",".join(str(x) for x in img_emb[id2])))
+                rows.append(("0", id1, t1, pvs1, emb_text(img_emb[id1]),
+                             id2, t2, pvs2, emb_text(img_emb[id2])))
             else:
                 rows.append(("0", id1, t1, pvs1, id2, t2, pvs2))
             seen.add(id2)
@@ -371,7 +376,7 @@ def read_finetune_tsv(path: str, id_dict: Optional[Dict] = None,
 def prepare_all(data_dir: str, output_dir: str, valid_proportion: float = 0.1,
                 seed: int = 0, num_train_augment: int = 0, num_neg: int = 5,
                 prev_valid: Optional[str] = None,
-                img_emb: Optional[Dict[str, Sequence[float]]] = None
+                img_emb: Optional[Dict[str, object]] = None
                 ) -> Dict[str, str]:
     """Full offline pipeline: stats -> KG files -> ordered finetune TSVs.
     Expects ``item_info.jsonl`` and ``item_train_pair.jsonl`` (and optionally

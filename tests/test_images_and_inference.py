@@ -69,7 +69,14 @@ def test_dump_image_embeddings(tmp_path):
     out = I.dump_image_embeddings(ids, img_paths, encode,
                                   str(tmp_path / "emb.json"), image_size=16)
     assert set(out) == {"a", "b"}
-    assert len(out["a"]) == 3
+    # values are the canonical comma-joined ASCII embedding text
+    assert len(out["a"].split(",")) == 3
+    # the JSON on disk parses back to the same fp32 values
+    import json
+    loaded = json.loads((tmp_path / "emb.json").read_text(encoding="utf-8"))
+    np.testing.assert_array_equal(
+        np.array(loaded["a"], np.float32),
+        np.array([np.float32(v) for v in out["a"].split(",")]))
 
 
 # ------------------------------------------------- embedding-cache serving

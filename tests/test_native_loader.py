@@ -71,3 +71,62 @@ def test_prepare_reader_uses_native(tmp_path, lib):
     _write_tsv(str(p), rows)
     out = read_finetune_tsv(str(p))
     assert out[0][0] == "1" and out[0][1] == "a" and out[0][5] == "b"
+
+
+def test_format_rows_fp32_roundtrip(lib):
+    rs = np.random.RandomState(0)
+    mat = np.concatenate([
+        rs.randn(7, 5).astype(np.float32) * 1e3,
+        np.array([[0, -0, 1e-38, 3.4e38, 1.5, -2.25, 1 / 3, 7e-20, 1, -1]],
+                 np.float32).reshape(2, 5),
+    ]).astype(np.float32)
+    texts = NL.format_rows(mat)
+    assert texts is not None and len(texts) == len(mat)
+    back = np.array([[np.float32(v) for v in t.split(",")] for t in texts],
+                    np.float32)
+    # %.9g round-trips every fp32 exactly
+    np.testing.assert_array_equal(back, mat)
+
+
+def test_embedding_json_roundtrip(lib, tmp_path):
+    from item_alignment_tpu.data.images import write_embedding_json
+
+    mat = np.random.RandomState(1).randn(4, 3).astype(np.float32)
+    ids = ["a", "b-1", "商品", "d"]
+    texts = NL.format_rows(mat)
+    path = tmp_path / "emb.json"
+    write_embedding_json(ids, texts, str(path))
+    # the file is real JSON
+    import json
+    loaded = json.loads(path.read_text(encoding="utf-8"))
+    assert list(loaded) == ids
+    np.testing.assert_array_equal(
+        np.array(loaded["a"], np.float32), mat[0])
+    # the native span reader slices the same texts back without parsing
+    spans = NL.read_embedding_spans(str(path))
+    assert spans == list(zip(ids, texts))
+
+
+def test_embedding_spans_reads_reference_style_dump(lib, tmp_path):
+    # json.dump writes ", "-separated values and a space after ':'
+    import json
+    path = tmp_path / "ref.json"
+    data = {"x1": [0.25, -1.5, 3.0], "x2": [1e-3, 2.0, 0.125]}
+    path.write_text(json.dumps(data), encoding="utf-8")
+    spans = NL.read_embedding_spans(str(path))
+    assert spans is not None
+    emb = dict(spans)
+    assert emb["x1"] == "0.25,-1.5,3.0"
+    assert [np.float32(v) for v in emb["x2"].split(",")] == [
+        np.float32(1e-3), np.float32(2.0), np.float32(0.125)]
+
+
+def test_embedding_spans_bails_on_surprising_json(lib, tmp_path):
+    # escaped key and nested values are out of contract -> None (callers
+    # fall back to json.load), never a wrong parse
+    p1 = tmp_path / "esc.json"
+    p1.write_text('{"a\\"b": [1.0]}', encoding="utf-8")
+    assert NL.read_embedding_spans(str(p1)) is None
+    p2 = tmp_path / "nest.json"
+    p2.write_text('{"a": [[1.0]]}', encoding="utf-8")
+    assert NL.read_embedding_spans(str(p2)) is None
