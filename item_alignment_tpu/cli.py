@@ -388,9 +388,10 @@ def _load_image_embedding(args):
             # reference scale), no reformatting
             emb = dict(spans)
         else:
+            from item_alignment_tpu.data.images import (
+                embedding_texts_from_mapping)
             with open(out_path, encoding="utf-8") as r:
-                emb = {k: ",".join(f"{float(x):.9g}" for x in v)
-                       for k, v in json.load(r).items()}
+                emb = embedding_texts_from_mapping(json.load(r))
         logger.info(f"loaded image embeddings for {len(emb)} items")
         return emb
 

@@ -127,6 +127,24 @@ def embedding_texts(mat: np.ndarray) -> List[str]:
     return texts
 
 
+def embedding_texts_from_mapping(raw: Dict[str, Sequence[float]]
+                                 ) -> Dict[str, str]:
+    """{id: floats} (a json.load'd legacy dump) -> {id: canonical text},
+    batching through :func:`embedding_texts` when rows are rectangular."""
+    items = list(raw.items())
+    if not items:
+        return {}
+    try:
+        mat = np.asarray([v for _, v in items], np.float32)
+        if mat.ndim != 2:
+            raise ValueError("ragged")
+        texts = embedding_texts(mat)
+    except ValueError:  # ragged rows: format one row at a time
+        texts = [embedding_texts(np.asarray([v], np.float32))[0]
+                 for _, v in items]
+    return {k: t for (k, _), t in zip(items, texts)}
+
+
 def write_embedding_json(ids: Sequence[str], texts: Sequence[str],
                          out_path: str) -> None:
     """``image_embedding.json`` {item_id: [floats...]} from prebuilt row

@@ -130,14 +130,18 @@ def format_rows(mat: np.ndarray, sep: str = ",",
     out: List[str] = []
     for i in range(0, n, chunk):
         sub = np.ascontiguousarray(mat[i:i + chunk])
-        cap = int(sub.size) * 16 + len(sub)
+        # 16 bytes covers any %.9g value + separator; +64 keeps the
+        # native side's 32-byte pre-value headroom check satisfied even
+        # when every value in the chunk is max width
+        cap = int(sub.size) * 16 + 64
         buf = np.empty(cap, np.uint8)
         ends = np.empty(len(sub), np.int64)
         total = lib.format_float_rows(
             sub.ctypes.data_as(ctypes.c_void_p), len(sub), d,
             sep.encode()[:1], buf.ctypes.data_as(ctypes.c_void_p), cap,
             ends.ctypes.data_as(ctypes.c_void_p))
-        assert total >= 0, f"format_float_rows failed: {total}"
+        if total < 0:  # real exception: asserts vanish under python -O
+            raise RuntimeError(f"format_float_rows failed: {total}")
         raw = buf[:total].tobytes()
         start = 0
         for e in ends:

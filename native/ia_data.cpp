@@ -115,7 +115,16 @@ int64_t format_float_rows(const float* emb, int64_t n, int64_t d, char sep,
     for (int64_t j = 0; j < d; ++j) {
       if (cap - pos < 32) return -1;
       if (j) buf[pos++] = sep;
-      pos += snprintf(buf + pos, 32, "%.9g", static_cast<double>(row[j]));
+      float v = row[j];
+      if (v != v) {  // non-finite: keep json.dump's token spelling so the
+        pos += snprintf(buf + pos, 32, "NaN");  // json.load fallback and
+      } else if (v > 3.4028235e38f) {           // external tools can still
+        pos += snprintf(buf + pos, 32, "Infinity");  // parse the dump
+      } else if (v < -3.4028235e38f) {
+        pos += snprintf(buf + pos, 32, "-Infinity");
+      } else {
+        pos += snprintf(buf + pos, 32, "%.9g", static_cast<double>(v));
+      }
     }
     row_ends[i] = pos;
   }

@@ -20,7 +20,11 @@ DATA_DIR=${DATA_DIR:-/root/rehearsal}
 mkdir -p "$OUT"
 
 echo "waiting for round3b 'queue complete' marker ..."
-while ! grep -q "queue complete" "$OUT/queue.log" 2>/dev/null; do sleep 60; done
+# match round3b's OWN marker: other queue scripts (and this one) append
+# generic "queue complete" lines to the same shared log
+while ! grep -q "\[r3b\] queue complete" "$OUT/queue.log" 2>/dev/null; do
+  sleep 60
+done
 echo "round3b done; round3c begins @ $(date +%s)" | tee -a "$OUT/queue.log"
 
 left() { echo $((DEADLINE - $(date +%s))); }
@@ -50,7 +54,7 @@ run attn_blockwise_s2048_dropout 1800 python benchmarks/bench_attention.py \
 # 3. rehearsal step 4 at the corrected effective-batch-256 schedule
 if [ "$DEADLINE" = 0 ] || [ "$(left)" -gt 2400 ]; then
   echo "=== [r3c] step4-remeasure @ $(date +%s) ===" | tee -a "$OUT/queue.log"
-  DATA_DIR="$DATA_DIR" START_AT=4 STOP_AFTER=4 \
+  DATA_DIR="$DATA_DIR" OUT="$DATA_DIR/output" START_AT=4 STOP_AFTER=4 \
     EPOCHS=1 KGE_EPOCHS=50 BERT_EPOCHS=1 \
     IA="python -m item_alignment_tpu.cli" \
     JAX_COMPILATION_CACHE_DIR="$DATA_DIR/xla_cache" \

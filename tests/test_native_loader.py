@@ -130,3 +130,35 @@ def test_embedding_spans_bails_on_surprising_json(lib, tmp_path):
     p2 = tmp_path / "nest.json"
     p2.write_text('{"a": [[1.0]]}', encoding="utf-8")
     assert NL.read_embedding_spans(str(p2)) is None
+
+
+def test_format_rows_max_width_values(lib):
+    # every value renders at the %.9g maximum width (15 chars); the
+    # staging-buffer sizing must still leave the native side's 32-byte
+    # pre-value headroom (regression: a tail chunk of max-width values
+    # returned -1)
+    mat = np.full((1, 2304), np.float32(-1.17549435e-38))
+    texts = NL.format_rows(mat)
+    assert texts is not None
+    back = np.array([np.float32(v) for v in texts[0].split(",")], np.float32)
+    np.testing.assert_array_equal(back, mat[0])
+
+
+def test_format_rows_nonfinite_json_compatible(lib, tmp_path):
+    from item_alignment_tpu.data.images import write_embedding_json
+    import json
+    mat = np.array([[np.nan, np.inf, -np.inf, 1.5]], np.float32)
+    texts = NL.format_rows(mat)
+    assert texts == ["NaN,Infinity,-Infinity,1.5"]
+    # json.load (the no-compiler fallback reader) parses the dump
+    path = tmp_path / "nf.json"
+    write_embedding_json(["a"], texts, str(path))
+    loaded = json.loads(path.read_text())
+    assert np.isnan(loaded["a"][0]) and np.isinf(loaded["a"][1])
+
+
+def test_embedding_texts_from_mapping_ragged(lib):
+    from item_alignment_tpu.data.images import embedding_texts_from_mapping
+    out = embedding_texts_from_mapping({"a": [1.0, 2.0], "b": [3.0]})
+    assert out == {"a": "1,2", "b": "3"}
+    assert embedding_texts_from_mapping({}) == {}
