@@ -496,20 +496,29 @@ def _prepare_image_shards(args) -> int:
                     if img1 is None or img2 is None:
                         skipped += 1  # broken images dropped (data.py:859)
                         continue
+                    # shards store post-transform uint8: 4x smaller than
+                    # normalized fp32 (and zlib-compressible, so the
+                    # savez_compressed branch kicks in), 4x less
+                    # host->device traffic; the towers normalize uint8
+                    # inputs on-device with bit-identical math
+                    # (models/image.py maybe_normalize_uint8)
                     if dtype == "train":
-                        t1 = train_transform(img1, args.image_size, rng)
-                        t2 = train_transform(img2, args.image_size, rng)
+                        t1 = train_transform(img1, args.image_size, rng,
+                                             normalized=False)
+                        t2 = train_transform(img2, args.image_size, rng,
+                                             normalized=False)
                     else:
-                        t1 = eval_transform(img1, args.image_size)
-                        t2 = eval_transform(img2, args.image_size)
-                    yield (f"{sid}|{tid}", t1.astype(np.float32),
-                           t2.astype(np.float32), label)
+                        t1 = eval_transform(img1, args.image_size,
+                                            normalized=False)
+                        t2 = eval_transform(img2, args.image_size,
+                                            normalized=False)
+                    yield (f"{sid}|{tid}", t1, t2, label)
             if skipped:
                 logger.warning(f"[{dtype}] skipped {skipped} broken pairs")
 
         written[dtype] = write_image_shards(
             gen(), args.output_dir, shard_size=args.shard_size,
-            prefix=f"{dtype}_feat")
+            prefix=f"{dtype}_feat", transformed=True)
     print(json.dumps(written))
     return 0
 
@@ -1417,31 +1426,58 @@ def cmd_finetune_image(argv: List[str]) -> int:
         args.eval_batch_size = args.train_batch_size
 
     from item_alignment_tpu.data.datasets import ArrayDataset
-    from item_alignment_tpu.data.images import eval_transform, read_image_shards
+    from item_alignment_tpu.data.images import (
+        eval_transform,
+        normalize as img_normalize,
+        read_image_shards,
+    )
     from item_alignment_tpu.engine.train import Trainer
     from item_alignment_tpu.models import build_model
 
     def load_shard_ds(shard_paths):
-        # two passes: count, then fill preallocated fp32 arrays in place —
-        # at 800px a 4k-pair split is ~60 GB of fp32; list-of-rows +
-        # np.stack would briefly hold 2x that and OOM the host
+        # two passes: count, then fill preallocated arrays in place (a
+        # list-of-rows + np.stack would briefly hold 2x the data and OOM
+        # the host at 800px).  Post-transform uint8 shards (today's
+        # prepare output, marked transformed=True) stay uint8 end-to-end
+        # — 4x less host RAM and host->device traffic than fp32; the
+        # towers normalize uint8 on-device.  Legacy fp32 shards and RAW
+        # uint8 shards (transformed absent/False) land in fp32 buffers.
         n = 0
-        for sp in shard_paths:  # npz loads lazily: touch only the labels
+        first_u8 = None
+        for sp in shard_paths:  # npz loads lazily: touch only the metadata
             with np.load(sp, allow_pickle=False) as z:
                 n += int(len(z["labels"]))
+                if first_u8 is None:
+                    first_u8 = bool(
+                        z["images_1"].dtype == np.uint8
+                        and "transformed" in z.files and z["transformed"])
         side = args.image_size
-        imgs1 = np.empty((n, side, side, 3), np.float32)
+        buf_dtype = np.uint8 if first_u8 else np.float32
+        imgs1 = np.empty((n, side, side, 3), buf_dtype)
         imgs2 = np.empty_like(imgs1)
         labels = np.empty((n,), np.int32)
         src_ids, tgt_ids = [], []
         row = 0
         for shard in read_image_shards(shard_paths):
-            pre_transformed = shard["images_1"].dtype != np.uint8
+            is_u8 = shard["images_1"].dtype == np.uint8
+            is_transformed = bool(shard.get(
+                "transformed", np.bool_(not is_u8)))
+            if buf_dtype == np.uint8 and not (is_u8 and is_transformed):
+                raise SystemExit(
+                    "mixed image shards: post-transform uint8 shards "
+                    "cannot be combined with fp32/raw ones in one run")
+            # transformed-uint8 rows entering an fp32 buffer (mixed with
+            # legacy fp32 shards) must be normalized here — a bare cast
+            # would hand the model un-normalized 0..255 floats
+            norm_here = is_transformed and is_u8 and buf_dtype == np.float32
             for i in range(len(shard["labels"])):
-                if pre_transformed:  # prepare --only_image already normalized
+                if norm_here:
+                    imgs1[row] = img_normalize(shard["images_1"][i])
+                    imgs2[row] = img_normalize(shard["images_2"][i])
+                elif is_transformed:
                     imgs1[row] = shard["images_1"][i]
                     imgs2[row] = shard["images_2"][i]
-                else:
+                else:  # RAW uint8 shard: transform at load (legacy path)
                     imgs1[row] = eval_transform(shard["images_1"][i],
                                                 args.image_size)
                     imgs2[row] = eval_transform(shard["images_2"][i],

@@ -59,8 +59,13 @@ def normalize(img: np.ndarray) -> np.ndarray:
 
 
 def eval_transform(img: np.ndarray, image_size: int,
-                   crop_pct: float = 0.875) -> np.ndarray:
-    """resize shorter side to size/crop_pct then center crop (timm eval)."""
+                   crop_pct: float = 0.875,
+                   normalized: bool = True) -> np.ndarray:
+    """resize shorter side to size/crop_pct then center crop (timm eval).
+
+    ``normalized=False`` returns the post-crop uint8 image instead (the
+    shard-storage form: 4x smaller, and the image towers normalize uint8
+    inputs on-device with bit-identical math)."""
     scale_size = int(round(image_size / crop_pct))
     h, w = img.shape[:2]
     if h < w:
@@ -68,16 +73,19 @@ def eval_transform(img: np.ndarray, image_size: int,
     else:
         new_h, new_w = int(round(h * scale_size / w)), scale_size
     img = _resize(img, (new_h, new_w))
-    return normalize(center_crop(img, image_size))
+    img = center_crop(img, image_size)
+    return normalize(img) if normalized else np.ascontiguousarray(img)
 
 
 def train_transform(img: np.ndarray, image_size: int,
                     rng: Optional[np.random.RandomState] = None,
                     hflip: float = 0.5,
                     scale: Tuple[float, float] = (0.08, 1.0),
-                    ratio: Tuple[float, float] = (3 / 4, 4 / 3)) -> np.ndarray:
+                    ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+                    normalized: bool = True) -> np.ndarray:
     """random-resized-crop + hflip + normalize (timm train, no jitter by
-    default like the reference's nfnet config)."""
+    default like the reference's nfnet config).  ``normalized=False``
+    returns post-crop uint8 (see :func:`eval_transform`)."""
     rng = rng or np.random.RandomState()
     h, w = img.shape[:2]
     area = h * w
@@ -96,7 +104,8 @@ def train_transform(img: np.ndarray, image_size: int,
     img_c = _resize(img_c, (image_size, image_size))
     if rng.rand() < hflip:
         img_c = img_c[:, ::-1]
-    return normalize(np.ascontiguousarray(img_c))
+    img_c = np.ascontiguousarray(img_c)
+    return normalize(img_c) if normalized else img_c
 
 
 def device_resize_normalize(images_u8, image_size: int):
@@ -218,9 +227,16 @@ def dump_image_embeddings(item_ids: Sequence[str],
 
 def write_image_shards(pairs: Iterable[Tuple[str, np.ndarray, np.ndarray, int]],
                        out_dir: str, shard_size: int = 1024,
-                       prefix: str = "train_feat") -> List[str]:
+                       prefix: str = "train_feat",
+                       transformed: bool = False) -> List[str]:
     """Serialize (pair_id, img1, img2, label) into .npz shards — the
-    tensorpack-LMDB equivalent (data_prepare.py:1253-1448)."""
+    tensorpack-LMDB equivalent (data_prepare.py:1253-1448).
+
+    ``transformed`` marks images already resized/cropped to the model's
+    input size (prepare --only_image writes post-transform uint8 and
+    passes True); readers must not infer that from the dtype — RAW uint8
+    shards (the default assumption) get an eval_transform at load,
+    post-transform uint8 ones must NOT."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     buf: List[Tuple[str, np.ndarray, np.ndarray, int]] = []
@@ -241,7 +257,8 @@ def write_image_shards(pairs: Iterable[Tuple[str, np.ndarray, np.ndarray, int]],
             pair_ids=np.array([b[0] for b in buf]),
             images_1=img1,
             images_2=np.stack([b[2] for b in buf]),
-            labels=np.array([b[3] for b in buf], np.int32))
+            labels=np.array([b[3] for b in buf], np.int32),
+            transformed=np.bool_(transformed))
         paths.append(path)
         shard += 1
         buf.clear()

@@ -43,6 +43,22 @@ from item_alignment_tpu.models.losses import pair_loss
 from item_alignment_tpu.models.outputs import PairClassifierOutput
 
 
+def maybe_normalize_uint8(images: jax.Array) -> jax.Array:
+    """uint8 [B, H, W, 3] -> ImageNet-normalized fp32, on device.
+
+    Image shards store post-transform uint8 (4x smaller on disk and over
+    the host->device transfer than normalized fp32); (x/255 - mean)/std
+    here is bit-identical to the host ``data.images.normalize`` and XLA
+    fuses it into the first conv.  Float inputs (legacy fp32 shards,
+    host-normalized paths) pass through unchanged."""
+    if images.dtype != jnp.uint8:
+        return images
+    from item_alignment_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
+
+    x = images.astype(jnp.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
 def _torch_pad(k: int, s: int = 1, d: int = 1) -> Tuple[int, int]:
     """timm/torch symmetric static padding (timm layers/padding.py)."""
     p = ((s - 1) + d * (k - 1)) // 2
@@ -95,6 +111,7 @@ class ViT(nn.Module):
 
     @nn.compact
     def __call__(self, images, deterministic: bool = True):
+        images = maybe_normalize_uint8(images)
         B = images.shape[0]
         x = nn.Conv(self.dim, (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size),
@@ -238,6 +255,7 @@ class ResNetV2(nn.Module):
 
     @nn.compact
     def __call__(self, images, deterministic: bool = True):
+        images = maybe_normalize_uint8(images)
         x = PlainConv(self.width, (7, 7), 2, name="stem_conv")(images)
         # torch MaxPool2d(3, 2, padding=1): -inf padding, floor division
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -357,6 +375,7 @@ class NFNet(nn.Module):
         # deep_quad stem (timm create_stem): 3x3 convs at strides 2,1,1,2
         # with out//8, out//4, out//2, out channels; silu between (not after)
         c = self.stem_chs
+        images = maybe_normalize_uint8(images)
         x = conv(c // 8, 3, 2, name="stem0")(images)
         x = conv(c // 4, 3, name="stem1")(jax.nn.silu(x))
         x = conv(c // 2, 3, name="stem2")(jax.nn.silu(x))

@@ -74,7 +74,8 @@ def test_prepare_only_image_writes_shards(corpus, capsys):
 
     shard = next(read_image_shards(written["train"]))
     assert shard["images_1"].shape == (4, 32, 32, 3)
-    assert shard["images_1"].dtype == np.float32  # pre-transformed
+    assert shard["images_1"].dtype == np.uint8  # post-transform uint8
+    # (4x smaller; the towers normalize uint8 on-device)
     assert str(shard["pair_ids"][0]).count("|") == 1
 
 

@@ -113,3 +113,62 @@ def test_image_two_tower(backbone):
         assert out.probs.shape == (2,)
     finally:
         im.BACKBONES.update(orig)
+
+
+def test_uint8_inputs_match_host_normalized():
+    """uint8-shard path: the tower's on-device (x/255 - mean)/std must be
+    bit-identical to feeding host-normalized fp32 (data.images.normalize),
+    for every backbone entry point."""
+    from item_alignment_tpu.data.images import normalize
+
+    rs = np.random.RandomState(0)
+    u8 = rs.randint(0, 256, (2, 32, 32, 3), np.uint8)
+    f32 = normalize(u8)
+    for make in (lambda: ViT(image_size=32, patch_size=8, dim=32,
+                             depth=1, heads=4),
+                 lambda: ResNetV2(depths=(1,), width=8),
+                 lambda: NFNet(depths=(1,), channels=(16,))):
+        model = make()
+        params = jax.jit(model.init)(RNG, jnp.asarray(f32))
+        out_f = model.apply(params, jnp.asarray(f32))
+        out_u = model.apply(params, jnp.asarray(u8))
+        for a, b in zip(jax.tree_util.tree_leaves(out_f),
+                        jax.tree_util.tree_leaves(out_u)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_image_shards_store_uint8_and_train(tmp_path):
+    """prepare --only_image now writes uint8 shards; an ImageTwoTower
+    train step consumes them directly (normalization happens in-model)."""
+    from item_alignment_tpu.data.images import (read_image_shards,
+                                                train_transform,
+                                                write_image_shards)
+
+    rs = np.random.RandomState(1)
+    raw = rs.randint(0, 256, (48, 48, 3), np.uint8)
+    t = train_transform(raw, 32, rs, normalized=False)
+    assert t.dtype == np.uint8 and t.shape == (32, 32, 3)
+    paths = write_image_shards(
+        [("a|b", t, t, 1), ("c|d", t, t, 0)], str(tmp_path), shard_size=8,
+        transformed=True)
+    batch = next(iter(read_image_shards(paths)))
+    assert batch["images_1"].dtype == np.uint8
+    # uint8 shards hit the compressed branch
+    assert paths[0].endswith(".npz")
+
+    import item_alignment_tpu.models.image as im
+    cfg = ModelConfig(model_name="vit", image_model_name="vit",
+                      image_size=32, patch_size=8, hidden_dropout_prob=0.0)
+    orig = dict(im.BACKBONES)
+    im.BACKBONES["vit"] = lambda c: ViT(image_size=32, patch_size=8, dim=32,
+                                        depth=1, heads=4)
+    try:
+        model = ImageTwoTower(cfg)
+        imgs = jnp.asarray(batch["images_1"])
+        labels = jnp.asarray(batch["labels"])
+        params = jax.jit(model.init)({"params": RNG}, imgs, imgs,
+                                     labels=labels)
+        loss = model.apply(params, imgs, imgs, labels=labels).loss
+        assert np.isfinite(float(loss))
+    finally:
+        im.BACKBONES.update(orig)
