@@ -28,6 +28,8 @@ def main():
     p.add_argument("--opt", default="fused", choices=["fused", "optax"],
                    help="fused single-pass AdamW (engine.optim.fused_adamw) "
                         "vs plain optax.adamw")
+    p.add_argument("--fuse_qkv", action="store_true",
+                   help="one [H, 3H] q/k/v projection matmul per layer")
     p.add_argument("--breakdown", action="store_true",
                    help="also time fwd-only and fwd+bwd-only scans to report "
                         "the fwd/bwd/opt cost split")
@@ -40,7 +42,8 @@ def main():
     cfg = ModelConfig.roberta_large(
         max_seq_len=50, max_seq_len_pv=205, dtype="bfloat16",
         hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1,
-        remat=args.remat, remat_policy=args.remat_policy)
+        remat=args.remat, remat_policy=args.remat_policy,
+        fuse_qkv=args.fuse_qkv)
     model = RobertaOneTower(cfg)
     B, S, iters = args.batch_size, cfg.pair_seq_len, 4
 
@@ -148,7 +151,7 @@ def main():
         "model_tflops_per_step": round(step_flops / 1e12, 2),
         "mfu": round(mfu, 3),
         "batch_size": B,
-        "remat": args.remat,
+        "remat": args.remat, "fuse_qkv": args.fuse_qkv,
         "remat_policy": args.remat_policy if args.remat else None,
         "opt": args.opt,
         # ~65k train pairs x 10 epochs at this batch size

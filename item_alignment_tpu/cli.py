@@ -142,6 +142,10 @@ def _common_train_flags(p: argparse.ArgumentParser) -> None:
                    help="int8 MXU path for the encoder's dense projections "
                         "(inference knob for --do_pred/--do_eval runs; v5e "
                         "runs int8 matmuls at 2x the bf16 rate)")
+    p.add_argument("--fuse_qkv", action="store_true",
+                   help="one [H, 3H] q/k/v projection matmul per encoder "
+                        "layer instead of three [H, H]; param-tree "
+                        "identical, checkpoints interchange")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder layers to cut HBM use")
     p.add_argument("--remat_policy", default="dots", choices=["dots", "full"],
@@ -243,6 +247,7 @@ def _model_config(args, **extra) -> ModelConfig:
         max_pvs=args.max_pvs, dtype="bfloat16" if args.bf16 else "float32",
         remat=args.remat, remat_policy=args.remat_policy,
         quant=getattr(args, "quant", None),
+        fuse_qkv=getattr(args, "fuse_qkv", False),
     )
     kw.update(extra)
     if args.config_file:

@@ -139,6 +139,11 @@ class ModelConfig:
                                               # projections (inference knob;
                                               # ops/quant.py — v5e runs int8
                                               # matmuls at 2x the bf16 rate)
+    fuse_qkv: bool = False                    # one [H, 3H] q/k/v projection
+                                              # matmul per layer instead of
+                                              # three [H, H] (encoder.py);
+                                              # param-tree identical, so
+                                              # checkpoints interchange
 
     # ------------------------------------------------------------------
     @property

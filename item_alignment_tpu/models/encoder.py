@@ -69,6 +69,24 @@ def _dense_cls(cfg: ModelConfig):
     return QuantDense if cfg.quant == "int8" else nn.Dense
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-shaped params (kernel/bias) WITHOUT the matmul, so
+    a fused caller can concatenate them; same tree path/shape/init as an
+    nn.Dense submodule of the same name, so checkpoints and the name-based
+    sharding rules (parallel/sharding.py) are unaffected."""
+
+    features: int
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", self.kernel_init,
+                            (in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class SelfAttention(nn.Module):
     config: ModelConfig
 
@@ -78,12 +96,27 @@ class SelfAttention(nn.Module):
         dt = _compute_dtype(cfg)
         B, S, H = hidden.shape
         N, D = cfg.num_attention_heads, cfg.head_dim
-        dense = lambda name: _dense_cls(cfg)(  # noqa: E731
-            H, name=name, dtype=dt,
-            kernel_init=nn.initializers.normal(cfg.initializer_range))
-        q = dense("query")(hidden).reshape(B, S, N, D)
-        k = dense("key")(hidden).reshape(B, S, N, D)
-        v = dense("value")(hidden).reshape(B, S, N, D)
+        init = nn.initializers.normal(cfg.initializer_range)
+        if cfg.fuse_qkv and cfg.quant != "int8":
+            # one [H, 3H] matmul instead of three [H, H]: the activations
+            # stream from HBM once instead of three times per layer (the
+            # runtime concat of the three fp32 kernels is ~100x cheaper
+            # than one re-read of the [B*S, H] activations).  Param tree
+            # is IDENTICAL to the unfused path — checkpoints interchange.
+            wq, bq = _DenseParams(H, init, name="query")(H)
+            wk, bk = _DenseParams(H, init, name="key")(H)
+            wv, bv = _DenseParams(H, init, name="value")(H)
+            w = jnp.concatenate([wq, wk, wv], axis=1).astype(dt)
+            b = jnp.concatenate([bq, bk, bv]).astype(dt)
+            qkv = hidden.astype(dt) @ w + b
+            q, k, v = (t.reshape(B, S, N, D)
+                       for t in jnp.split(qkv, 3, axis=-1))
+        else:
+            dense = lambda name: _dense_cls(cfg)(  # noqa: E731
+                H, name=name, dtype=dt, kernel_init=init)
+            q = dense("query")(hidden).reshape(B, S, N, D)
+            k = dense("key")(hidden).reshape(B, S, N, D)
+            v = dense("value")(hidden).reshape(B, S, N, D)
 
         dropout_rng = None
         rate = cfg.attention_probs_dropout_prob

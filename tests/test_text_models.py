@@ -191,3 +191,34 @@ def test_cate_ids_hook():
     assert "cate_embeddings" in params["roberta"]["embeddings"]
     assert not np.allclose(np.asarray(out_with.logits),
                            np.asarray(out_wo.logits))
+
+
+def test_fuse_qkv_matches_unfused():
+    """cfg.fuse_qkv computes the q/k/v projections as one [H, 3H] matmul;
+    the param tree is identical, so the same params must produce the same
+    logits (and gradients must flow) either way."""
+    import jax
+
+    from item_alignment_tpu.config import ModelConfig
+    from item_alignment_tpu.models.text import RobertaOneTower
+
+    kw = dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+              intermediate_size=64, vocab_size=60, max_seq_len=8,
+              max_seq_len_pv=8, max_position_embeddings=64,
+              hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    base = RobertaOneTower(ModelConfig(**kw))
+    fused = RobertaOneTower(ModelConfig(fuse_qkv=True, **kw))
+    ids = jnp.asarray(np.random.RandomState(0).randint(3, 50, (2, 16)))
+    mask = jnp.ones_like(ids)
+    params = jax.jit(base.init)({"params": jax.random.PRNGKey(0)}, ids, mask)
+    # identical tree: fused init produces the same structure
+    pf = jax.jit(fused.init)({"params": jax.random.PRNGKey(0)}, ids, mask)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(pf))
+    out_b = np.asarray(base.apply(params, ids, mask).logits)
+    out_f = np.asarray(fused.apply(params, ids, mask).logits)
+    np.testing.assert_allclose(out_f, out_b, atol=1e-5, rtol=1e-5)
+    g = jax.grad(lambda p: float(0) + fused.apply(
+        p, ids, mask, labels=jnp.asarray([0, 1])).loss)(params)
+    q = g["params"]["roberta"]["encoder"]["layer_0"]["attention"]["query"]
+    assert float(np.abs(np.asarray(q["kernel"])).max()) > 0
