@@ -1827,13 +1827,17 @@ def cmd_coca_pretrain(argv: List[str]) -> int:
     model = CoCaForPretraining(cfg)
 
     data = [np.load(s) for s in args.shards]
+    imgs = np.concatenate([d["images"] for d in data])
+    if imgs.dtype != np.uint8:
+        # float shards must arrive normalized; uint8 ones stay uint8 and
+        # the ViT tower normalizes on-device (maybe_normalize_uint8)
+        imgs = imgs.astype(np.float32)
     ds = ArrayDataset({
         "input_ids": np.concatenate(
             [d["input_ids"] for d in data]).astype(np.int32),
         "attention_mask": np.concatenate(
             [d["attention_mask"] for d in data]).astype(np.int32),
-        "images": np.concatenate(
-            [d["images"] for d in data]).astype(np.float32),
+        "images": imgs,
     })
 
     import jax

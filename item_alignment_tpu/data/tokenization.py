@@ -570,13 +570,16 @@ def build_multimodal_pretrain_dataset(
         feats["input_ids"].append(enc["input_ids"])
         feats["attention_mask"].append(enc["attention_mask"])
         feats["token_type_ids"].append(enc["token_type_ids"])
-        feats["images"].append(eval_transform(img, image_size))
+        feats["images"].append(eval_transform(img, image_size,
+                                             normalized=False))
         meta["item_id"].append(item.get("item_id", ""))
     arrays = {k: np.asarray(v, np.int32) for k, v in feats.items()
               if k != "images"}
-    arrays["images"] = np.stack(feats["images"]).astype(np.float32) \
-        if feats["images"] else np.zeros((0, image_size, image_size, 3),
-                                         np.float32)
+    # post-transform uint8: 4x less host RAM / host->device traffic;
+    # the ViT tower normalizes uint8 inputs on-device with bit-identical
+    # math (models/image.py maybe_normalize_uint8)
+    arrays["images"] = np.stack(feats["images"]) if feats["images"] \
+        else np.zeros((0, image_size, image_size, 3), np.uint8)
     return ArrayDataset(arrays, meta)
 
 
@@ -611,16 +614,19 @@ def build_multimodal_pair_dataset(
                       padding="max_length", truncation="longest_first")
             feats[f"input_ids_{i}"].append(enc["input_ids"])
             feats[f"attention_mask_{i}"].append(enc["attention_mask"])
-        feats["images_1"].append(eval_transform(img1, image_size))
-        feats["images_2"].append(eval_transform(img2, image_size))
+        feats["images_1"].append(eval_transform(img1, image_size,
+                                               normalized=False))
+        feats["images_2"].append(eval_transform(img2, image_size,
+                                               normalized=False))
         feats["labels"].append(int(label))
         meta["src_item_id"].append(sid)
         meta["tgt_item_id"].append(tid)
     arrays = {k: np.asarray(v, np.int32) for k, v in feats.items()
               if not k.startswith("images")}
     for k in ("images_1", "images_2"):
-        arrays[k] = np.stack(feats[k]).astype(np.float32) if feats[k] else \
-            np.zeros((0, image_size, image_size, 3), np.float32)
+        # post-transform uint8 (see build_multimodal_pretrain_dataset)
+        arrays[k] = np.stack(feats[k]) if feats[k] else \
+            np.zeros((0, image_size, image_size, 3), np.uint8)
     return ArrayDataset(arrays, meta)
 
 
