@@ -304,13 +304,21 @@ def _fused_attention_dropout_impl(rate, seed, q, k, v, bias):
     scale = 1.0 / (H ** 0.5)
     qt, kt, vt, bias_rows, group = _dropout_flatten(q, k, v, bias)
     row_spec, bias_spec = _dropout_specs(B, S, N, H, group)
-    stat_spec = pl.BlockSpec((1, group, S), lambda b, g: (b, g, 0),
+    # stats live as [B*n_groups, group, S] so the block's trailing dims
+    # EQUAL the array's (Mosaic requires the last two block dims divisible
+    # by (8, 128) or equal to the array dims — a [B, N, S] layout with
+    # (1, group, S) blocks fails lowering whenever group isn't a multiple
+    # of 8, e.g. the 12-head legacy-BERT encoder's group of 6)
+    n_groups = N // group
+    stat_spec = pl.BlockSpec((1, group, S),
+                             lambda b, g, _G=n_groups: (b * _G + g, 0, 0),
                              memory_space=pltpu.VMEM)
     out, lse = pl.pallas_call(
         functools.partial(_attn_dropout_kernel, scale=scale,
                           heads_in_cell=group, head_dim=H, rate=rate),
         out_shape=(jax.ShapeDtypeStruct((B, S, N * H), q.dtype),
-                   jax.ShapeDtypeStruct((B, N, S), jnp.float32)),
+                   jax.ShapeDtypeStruct((B * n_groups, group, S),
+                                        jnp.float32)),
         grid=(B, N // group),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   row_spec, row_spec, row_spec, bias_spec],
@@ -321,7 +329,9 @@ def _fused_attention_dropout_impl(rate, seed, q, k, v, bias):
             transcendentals=B * N * S * S,
         ),
     )(jnp.asarray(seed, jnp.int32).reshape(1), qt, kt, vt, bias_rows)
-    return out.reshape(B, S, N, H), lse
+    # heads are grouped contiguously (head = g*group + h), so this reshape
+    # restores the [B, N, S] stat layout exactly
+    return out.reshape(B, S, N, H), lse.reshape(B, N, S)
 
 
 def _fused_attention_dropout_fwd(rate, seed, q, k, v, bias):
@@ -336,11 +346,15 @@ def _fused_attention_dropout_bwd(rate, res, g):
     qt, kt, vt, bias_rows, group = _dropout_flatten(q, k, v, bias)
     gt = g.reshape(B, S, N * H)
     row_spec, bias_spec = _dropout_specs(B, S, N, H, group)
-    stat_spec = pl.BlockSpec((1, group, S), lambda b, g: (b, g, 0),
+    # [B*n_groups, group, S] stat layout — see _fused_attention_dropout_impl
+    n_groups = N // group
+    stat_spec = pl.BlockSpec((1, group, S),
+                             lambda b, g, _G=n_groups: (b * _G + g, 0, 0),
                              memory_space=pltpu.VMEM)
+    lse = lse.reshape(B * n_groups, group, S)
     # softmax-backward row term (dropout included): one fused XLA pass
     delta = jnp.einsum("bsnh,bsnh->bns", g.astype(jnp.float32),
-                       out.astype(jnp.float32))
+                       out.astype(jnp.float32)).reshape(B * n_groups, group, S)
     shape = jax.ShapeDtypeStruct((B, S, N * H), q.dtype)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_dropout_bwd_kernel, scale=scale,
@@ -573,8 +587,12 @@ def _flash_shapes(q, bias, block_q, block_kv):
     bias_spec = pl.BlockSpec((1, 1, block_kv),
                              lambda b, g, qi, ki: (b, 0, ki),
                              memory_space=pltpu.VMEM)
+    # stats as [B*n_groups, group, S]: block trailing dims equal the array
+    # dims for ANY group (see _fused_attention_dropout_impl's layout note)
+    n_groups = N // group
     stat_spec = pl.BlockSpec((1, group, block_q),
-                             lambda b, g, qi, ki: (b, g, qi),
+                             lambda b, g, qi, ki, _G=n_groups:
+                             (b * _G + g, 0, qi),
                              memory_space=pltpu.VMEM)
     return B, S, N, H, group, bias_rows, q_spec, kv_spec, bias_spec, stat_spec
 
@@ -588,7 +606,8 @@ def _flash_blockwise_impl(rate, seed, q, k, v, bias, block_q, block_kv):
         functools.partial(_flash_kernel, scale=scale, heads_in_cell=group,
                           head_dim=H, rate=rate),
         out_shape=(jax.ShapeDtypeStruct((B, S, N * H), q.dtype),
-                   jax.ShapeDtypeStruct((B, N, S), jnp.float32)),
+                   jax.ShapeDtypeStruct((B * (N // group), group, S),
+                                        jnp.float32)),
         grid=(B, N // group, S // block_q, S // block_kv),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   q_spec, kv_spec, kv_spec, bias_spec],
@@ -604,7 +623,7 @@ def _flash_blockwise_impl(rate, seed, q, k, v, bias, block_q, block_kv):
             transcendentals=B * N * S * S,
         ),
     )(jnp.asarray(seed, jnp.int32).reshape(1), qt, kt, vt, bias_rows)
-    return out.reshape(B, S, N, H), lse
+    return out.reshape(B, S, N, H), lse.reshape(B, N, S)
 
 
 def _flash_blockwise_bwd_impl(rate, seed, q, k, v, bias, out, lse, g,
@@ -615,10 +634,12 @@ def _flash_blockwise_bwd_impl(rate, seed, q, k, v, bias, out, lse, g,
     qt, kt, vt = (x.reshape(B, S, N * H) for x in (q, k, v))
     gt = g.reshape(B, S, N * H)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    n_groups = N // group
+    lse = lse.reshape(B * n_groups, group, S)
     # delta_i = sum_h g_ih * o_ih = sum_j probs_ij keep_ij (g_i . v_j):
     # the softmax-backward row term, valid with and without dropout
     delta = jnp.einsum("bsnh,bsnh->bns", g.astype(jnp.float32),
-                       out.astype(jnp.float32))
+                       out.astype(jnp.float32)).reshape(B * n_groups, group, S)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     common = dict(scale=scale, heads_in_cell=group, head_dim=H, rate=rate)
     bwd_cost = pl.CostEstimate(
@@ -648,7 +669,8 @@ def _flash_blockwise_bwd_impl(rate, seed, q, k, v, bias, out, lse, g,
                                  lambda b, g_, ki, qi: (b, 0, ki),
                                  memory_space=pltpu.VMEM)
     dkv_stat_spec = pl.BlockSpec((1, group, block_q),
-                                 lambda b, g_, ki, qi: (b, g_, qi),
+                                 lambda b, g_, ki, qi, _G=n_groups:
+                                 (b * _G + g_, 0, qi),
                                  memory_space=pltpu.VMEM)
     kv_shape = jax.ShapeDtypeStruct((B, S, N * H), q.dtype)
     dk, dv = pl.pallas_call(
