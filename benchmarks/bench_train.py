@@ -30,6 +30,10 @@ def main():
                         "vs plain optax.adamw")
     p.add_argument("--fuse_qkv", action="store_true",
                    help="one [H, 3H] q/k/v projection matmul per layer")
+    p.add_argument("--no_dropout", action="store_true",
+                   help="zero both dropout rates: isolates the cost of the "
+                        "dropout masks (rbg hidden-dropout streams + the "
+                        "in-kernel attention-dropout draws) in the train step")
     p.add_argument("--breakdown", action="store_true",
                    help="also time fwd-only and fwd+bwd-only scans to report "
                         "the fwd/bwd/opt cost split")
@@ -39,9 +43,10 @@ def main():
     from item_alignment_tpu.engine.optim import make_optimizer
     from item_alignment_tpu.models.text import RobertaOneTower
 
+    drop = 0.0 if args.no_dropout else 0.1
     cfg = ModelConfig.roberta_large(
         max_seq_len=50, max_seq_len_pv=205, dtype="bfloat16",
-        hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1,
+        hidden_dropout_prob=drop, attention_probs_dropout_prob=drop,
         remat=args.remat, remat_policy=args.remat_policy,
         fuse_qkv=args.fuse_qkv)
     model = RobertaOneTower(cfg)
@@ -93,8 +98,23 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times), out
 
+    dt = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, loss = train_n(params, opt_state, ids, mask, labels)
+        np.asarray(loss)
+        t = time.perf_counter() - t0
+        dt = t if dt is None or t < dt else dt
+
     breakdown = {}
     if args.breakdown:
+        # the full step was timed above; free the optimizer state (fp32 m+v,
+        # ~2.8GB for the flagship) before compiling the fwd/grad-only probes
+        # — keeping all three programs' buffers live OOMed the 16GB chip at
+        # batch 32
+        del opt_state
+        jax.clear_caches()
+
         @jax.jit
         def fwd_n(params, ids, masks, labels):
             def body(acc, xml):
@@ -123,15 +143,6 @@ def main():
             "fwd_ms": round(t_fwd / iters * 1000, 1),
             "bwd_ms": round((t_grad - t_fwd) / iters * 1000, 1),
         }
-
-    dt = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        params, opt_state, loss = train_n(params, opt_state, ids, mask, labels)
-        np.asarray(loss)
-        t = time.perf_counter() - t0
-        dt = t if dt is None or t < dt else dt
-    if args.breakdown:
         breakdown["opt_ms"] = round(
             dt / iters * 1000 - breakdown["fwd_ms"] - breakdown["bwd_ms"], 1)
     pairs_per_sec = B * iters / dt
@@ -152,6 +163,7 @@ def main():
         "mfu": round(mfu, 3),
         "batch_size": B,
         "remat": args.remat, "fuse_qkv": args.fuse_qkv,
+        "no_dropout": args.no_dropout,
         "remat_policy": args.remat_policy if args.remat else None,
         "opt": args.opt,
         # ~65k train pairs x 10 epochs at this batch size
