@@ -46,22 +46,25 @@ def main():
     model = ImageTwoTower(cfg)
     n_iters = 4
     rng = jax.random.PRNGKey(0)
+    # distinct src/tgt images: feeding the same array to both towers lets
+    # XLA CSE the second tower away entirely, halving the real work behind
+    # an unchanged "pairs/s" (this bench's earlier rows did exactly that)
     imgs = jax.random.normal(rng, (n_iters, B, size, size, 3), jnp.float32)
+    imgs2 = jax.random.normal(jax.random.PRNGKey(1),
+                              (n_iters, B, size, size, 3), jnp.float32)
     labels = jnp.zeros((n_iters, B), jnp.int32)
     params = jax.jit(model.init)(
-        {"params": rng}, imgs[0, :, :, :, :], imgs[0, :, :, :, :],
+        {"params": rng}, imgs[0, :, :, :, :], imgs2[0, :, :, :, :],
         labels=labels[0])
 
     v5e_peak = 197e12  # bf16 TFLOP/s
 
-    def compiled_flops(compiled):
-        """XLA's own FLOP count for the compiled executable (covers convs
-        exactly — no hand formula for grouped/strided convs needed)."""
+    def traced_flops(fn, *fargs):
+        """Exact dot/conv FLOPs from the traced jaxpr (the remote backend's
+        compiled.cost_analysis() under-reports; see utils/flops.py)."""
+        from item_alignment_tpu.utils.flops import count_flops
         try:
-            ca = compiled.cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            return float(ca.get("flops", 0.0)) or None
+            return count_flops(fn, *fargs)
         except Exception:
             return None
 
@@ -70,26 +73,28 @@ def main():
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, params)
 
-        def forward_n(p, imgs):
-            def body(c, x):
-                return c + jnp.sum(model.apply(p, x, x).probs), None
-            total, _ = jax.lax.scan(body, jnp.float32(0), imgs)
+        def forward_n(p, imgs, imgs2):
+            def body(c, xs):
+                x, x2 = xs
+                return c + jnp.sum(model.apply(p, x, x2).probs), None
+            total, _ = jax.lax.scan(body, jnp.float32(0), (imgs, imgs2))
             return total
 
-        fwd = jax.jit(forward_n).lower(params, imgs).compile()
-        flops = compiled_flops(fwd)
-        np.asarray(fwd(params, imgs))
+        fwd = jax.jit(forward_n).lower(params, imgs, imgs2).compile()
+        flops = traced_flops(forward_n, params, imgs, imgs2)
+        np.asarray(fwd(params, imgs, imgs2))
         times = []
         for _ in range(2):
             t0 = time.perf_counter()
-            np.asarray(fwd(params, imgs))
+            np.asarray(fwd(params, imgs, imgs2))
             times.append(time.perf_counter() - t0)
         out = {
             "metric": f"{args.model}_two_tower_forward",
             "image_size": size, "batch_size": B,
             "pairs_per_sec": round(B * n_iters / min(times), 1)}
         if flops:
-            out["tflops_total"] = round(flops / 1e12, 2)
+            out["gflops_per_pair"] = round(flops / (B * n_iters) / 1e9, 1)
+            out["tflops_per_sec"] = round(flops / min(times) / 1e12, 1)
             out["mfu"] = round(flops / min(times) / v5e_peak, 3)
         print(json.dumps(out))
         return
@@ -99,13 +104,13 @@ def main():
     tx = optax.adamw(1e-4)
     opt = tx.init(params)
 
-    def train_n(params, opt, imgs, labels):
+    def train_n(params, opt, imgs, imgs2, labels):
         def body(carry, xl):
             p, o = carry
-            x, l = xl
+            x, x2, l = xl
 
             def loss_fn(p):
-                return model.apply(p, x, x, labels=l,
+                return model.apply(p, x, x2, labels=l,
                                    deterministic=False,
                                    rngs={"dropout": jax.random.key(
                                        0, impl="rbg")}).loss
@@ -115,16 +120,16 @@ def main():
             return (optax.apply_updates(p, u), o), loss
 
         (params, opt), losses = jax.lax.scan(body, (params, opt),
-                                             (imgs, labels))
+                                             (imgs, imgs2, labels))
         return losses[-1]
 
-    step = jax.jit(train_n).lower(params, opt, imgs, labels).compile()
-    flops = compiled_flops(step)
-    np.asarray(step(params, opt, imgs, labels))
+    step = jax.jit(train_n).lower(params, opt, imgs, imgs2, labels).compile()
+    flops = traced_flops(train_n, params, opt, imgs, imgs2, labels)
+    np.asarray(step(params, opt, imgs, imgs2, labels))
     times = []
     for _ in range(2):
         t0 = time.perf_counter()
-        np.asarray(step(params, opt, imgs, labels))
+        np.asarray(step(params, opt, imgs, imgs2, labels))
         times.append(time.perf_counter() - t0)
     out = {
         "metric": f"{args.model}_two_tower_train",
@@ -132,7 +137,8 @@ def main():
         "pairs_per_sec": round(B * n_iters / min(times), 1),
         "ms_per_step": round(min(times) / n_iters * 1000, 1)}
     if flops:
-        out["tflops_total"] = round(flops / 1e12, 2)
+        out["gflops_per_pair"] = round(flops / (B * n_iters) / 1e9, 1)
+        out["tflops_per_sec"] = round(flops / min(times) / 1e12, 1)
         out["mfu"] = round(flops / min(times) / v5e_peak, 3)
     print(json.dumps(out))
 
