@@ -31,8 +31,7 @@ def main(out_dir):
     rows = {}
     for path in sorted(glob.glob(os.path.join(out_dir, "*.log"))):
         name = os.path.basename(path)[:-4]
-        if name in ("queue", "finish", "watcher", "r3b_driver",
-                    "r3c_driver", "r3d_driver"):
+        if name in ("queue", "finish", "watcher") or name.endswith("_driver"):
             continue
         d = last_json_line(path)
         rows[name] = d
