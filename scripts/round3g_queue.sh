@@ -36,21 +36,23 @@ run() {
   echo "=== [r3g] $name rc=$? @ $(date +%s) ===" | tee -a "$OUT/queue.log"
 }
 
-# corrected image rows (supersede the r3b image_mfu_* rows)
+# relay-500 retry first: KGE link-prediction eval at reference scale is a
+# VERDICT r2 "Done =" item; the deadline trims from the tail
+run kge_eval_retry 2400 python benchmarks/bench_kge.py --epochs 2 \
+  --eval_triples 2000
+# corrected image rows (supersede the r3b image_mfu_* rows), one per tower
+# first, then the sweeps
 run img2_nfnet 1800 python benchmarks/bench_image.py --model eca_nfnet_l0
+run img2_vit 1500 python benchmarks/bench_image.py --model vit_base_patch16_384
+run img2_resnet 1500 python benchmarks/bench_image.py --model resnetv2_50
+run img2_nfnet_train 2400 python benchmarks/bench_image.py \
+  --model eca_nfnet_l0 --train
 run img2_nfnet_bs16 1800 python benchmarks/bench_image.py \
   --model eca_nfnet_l0 --batch_size 16
 run img2_nfnet_bs32 1800 python benchmarks/bench_image.py \
   --model eca_nfnet_l0 --batch_size 32
-run img2_vit 1500 python benchmarks/bench_image.py --model vit_base_patch16_384
 run img2_vit_bs64 1500 python benchmarks/bench_image.py \
   --model vit_base_patch16_384 --batch_size 64
 run img2_vit_int8 1500 python benchmarks/bench_image.py \
   --model vit_base_patch16_384 --quant int8
-run img2_resnet 1500 python benchmarks/bench_image.py --model resnetv2_50
-run img2_nfnet_train 2400 python benchmarks/bench_image.py \
-  --model eca_nfnet_l0 --train
-# relay-500 retries
-run kge_eval_retry 2400 python benchmarks/bench_kge.py --epochs 2 \
-  --eval_triples 2000
 echo "=== [r3g] queue complete @ $(date +%s) ===" | tee -a "$OUT/queue.log"
