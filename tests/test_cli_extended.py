@@ -300,3 +300,41 @@ def test_finetune_bert_adversarial_kill_and_resume(tmp_path, vocab_dir,
     # restored deltas make the final losses match to float tolerance
     np.testing.assert_allclose(resumed["final_loss"], full["final_loss"],
                                rtol=1e-5)
+
+
+def test_image_two_tower_dataset_end_ensemble_has_no_img_token(vocab_dir):
+    """ensemble != "begin" must NOT prefix [IMG] [SEP] (the reference's
+    RobertaImageTwoTowerDataset gates the prefix on ensemble=="begin",
+    data.py:682-753); the image embedding then enters at the head via the
+    end-ensemble concat instead of the embedding splice."""
+    from item_alignment_tpu.data.tokenization import (
+        IMG_TOKEN_ID, load_text_tokenizer, rows_to_image_two_tower_dataset,
+    )
+    tok = load_text_tokenizer(vocab_dir)
+    rows = [("1", "s0", "商品", "a:b", "0.5,0.5",
+             "t0", "商品", "b:a", "0.25,0.75")]
+    ds = rows_to_image_two_tower_dataset(rows, tok, 4, 6, image_hidden_size=4,
+                                         ensemble="end")
+    for i in (1, 2):
+        ids = ds.arrays[f"input_ids_{i}"][0]
+        assert ids[0] == tok.cls_token_id
+        assert IMG_TOKEN_ID not in ids.tolist()
+
+
+def test_image_two_tower_dataset_title_only(vocab_dir):
+    """max_seq_len_pv=None -> title-only text at max_seq_len, like the
+    reference's None-gated seq-len cases (data.py:697-708)."""
+    from item_alignment_tpu.data.tokenization import (
+        load_text_tokenizer, rows_to_image_two_tower_dataset,
+    )
+    tok = load_text_tokenizer(vocab_dir)
+    rows = [("0", "s0", "商品", "a:b", "0.5,0.5",
+             "t0", "商品", "b:a", "0.25,0.75")]
+    ds = rows_to_image_two_tower_dataset(rows, tok, 6, None,
+                                         image_hidden_size=4)
+    sep = tok.sep_token_id
+    for i in (1, 2):
+        ids = ds.arrays[f"input_ids_{i}"][0].tolist()
+        assert len(ids) == 6
+        # [CLS] [IMG] [SEP] title... — no pvs tokens follow a second [SEP]
+        assert ids.count(sep) <= 2
