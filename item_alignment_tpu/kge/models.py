@@ -238,6 +238,22 @@ class KGEModel:
                 x2 = jnp.sum(x * x, -1, keepdims=True)
                 e2 = jnp.sum(E * E, -1)[None, :]
                 return -(x2 - 2.0 * (x @ E.T) + e2)
+        if name == "pkgm" and dt == "L2":
+            # Head candidates appear in BOTH pkgm terms (score():112-117):
+            #   -||hn + r - tn||^2 - ||M hn - r||^2,  hn = normalized cand.
+            # Expanded so only two [B, n_ent] matmuls (plus one [n_ent, d]
+            # projection) ever exist — the chunked fallback materialized
+            # [B*chunk, d] gathers per unrolled chunk and OOMed at the
+            # reference's 258k entities (32.5G vs 15.75G HBM, bench_r3).
+            Hn = l2_normalize(E)                                 # [N, d]
+            r = params["rel_emb"][r_idx]                         # [B, d]
+            y = r - l2_normalize(E[t_idx])                       # [B, d]
+            hn2 = jnp.sum(Hn * Hn, -1)[None, :]                  # [1, N]
+            term1 = hn2 + jnp.sum(y * y, -1, keepdims=True) + 2.0 * (y @ Hn.T)
+            P = Hn @ params["proj_mat"].T                        # [N, d]
+            p2 = jnp.sum(P * P, -1)[None, :]
+            term2 = p2 + jnp.sum(r * r, -1, keepdims=True) - 2.0 * (r @ P.T)
+            return -term1 - term2
         if name == "distmult":
             return (E[t_idx] * params["rel_emb"][r_idx]) @ E.T
         if name == "complex":
@@ -246,38 +262,40 @@ class KGEModel:
             return (rr * tr + ri * ti) @ E.T + (rr * ti - ri * tr) @ params["ent_emb_im"].T
         return self._chunked_heads(params, t_idx, r_idx)
 
-    # chunked fallbacks (exact, O(B * n_ent) memory per chunk)
+    # chunked fallbacks (exact; lax.map keeps ONE chunk's buffers live —
+    # the unrolled python-loop version kept every chunk's [B*chunk, d]
+    # gathers alive through the trailing concatenate and OOMed at scale)
     def _chunked_tails(self, params, h_idx, r_idx, chunk: int = 4096):
         n = self.n_ent
         pad = (-n) % chunk
         cands = jnp.arange(n + pad) % n
+        B = h_idx.shape[0]
 
         def body(c):
-            B = h_idx.shape[0]
-            t = jnp.broadcast_to(c[None, :], (B, c.shape[0]))
+            t = jnp.broadcast_to(c[None, :], (B, chunk))
             hh = jnp.broadcast_to(h_idx[:, None], t.shape)
             rr = jnp.broadcast_to(r_idx[:, None], t.shape)
             return self.score(params, hh.reshape(-1), rr.reshape(-1),
-                              t.reshape(-1)).reshape(B, -1)
+                              t.reshape(-1)).reshape(B, chunk)
 
-        chunks = [body(cands[i:i + chunk]) for i in range(0, n + pad, chunk)]
-        return jnp.concatenate(chunks, axis=1)[:, :n]
+        out = jax.lax.map(body, cands.reshape(-1, chunk))  # [n_chunks, B, chunk]
+        return jnp.moveaxis(out, 0, 1).reshape(B, -1)[:, :n]
 
     def _chunked_heads(self, params, t_idx, r_idx, chunk: int = 4096):
         n = self.n_ent
         pad = (-n) % chunk
         cands = jnp.arange(n + pad) % n
+        B = t_idx.shape[0]
 
         def body(c):
-            B = t_idx.shape[0]
-            h = jnp.broadcast_to(c[None, :], (B, c.shape[0]))
+            h = jnp.broadcast_to(c[None, :], (B, chunk))
             tt = jnp.broadcast_to(t_idx[:, None], h.shape)
             rr = jnp.broadcast_to(r_idx[:, None], h.shape)
             return self.score(params, h.reshape(-1), rr.reshape(-1),
-                              tt.reshape(-1)).reshape(B, -1)
+                              tt.reshape(-1)).reshape(B, chunk)
 
-        chunks = [body(cands[i:i + chunk]) for i in range(0, n + pad, chunk)]
-        return jnp.concatenate(chunks, axis=1)[:, :n]
+        out = jax.lax.map(body, cands.reshape(-1, chunk))  # [n_chunks, B, chunk]
+        return jnp.moveaxis(out, 0, 1).reshape(B, -1)[:, :n]
 
 
 def make_kge_model(name: str, n_ent: int, n_rel: int, emb_dim: int,

@@ -89,6 +89,26 @@ def test_all_candidate_scores_match_pointwise():
                                    err_msg=name)
 
 
+def test_all_candidate_head_scores_match_pointwise():
+    """Head-side matmul expansion must equal chunked pointwise scoring.
+    The pkgm expansion is additionally checked on an UNNORMALIZED entity
+    table (score() l2-normalizes the head candidate in both pkgm terms;
+    the expansion must too — transe's expansion intentionally uses the raw
+    table like torchkge's inference path, so it is checked on unit rows)."""
+    for name in ("transe", "pkgm", "distmult", "complex"):
+        model = make_kge_model(name, 25, 4, 8)
+        params = model.init_params(jax.random.PRNGKey(3))
+        if name == "pkgm":  # break the unit-norm invariant on purpose
+            params["ent_emb"] = params["ent_emb"] * jnp.linspace(
+                0.5, 2.0, 25)[:, None]
+        t = jnp.array([2, 9, 11])
+        r = jnp.array([1, 0, 3])
+        fast = np.asarray(model.scores_all_heads(params, t, r))
+        slow = np.asarray(model._chunked_heads(params, t, r, chunk=16))
+        np.testing.assert_allclose(fast, slow, rtol=2e-3, atol=2e-4,
+                                   err_msg=name)
+
+
 def test_bernoulli_probs_match_tph_hpt():
     kg = KnowledgeGraph(np.array([0, 1, 2, 0]), np.array([0, 0, 0, 1]),
                         np.array([3, 3, 4, 5]), n_ent=6, n_rel=2)
