@@ -188,6 +188,29 @@ def test_pkgm_pretrain_cli(corpus, capsys):
     assert os.path.exists(corpus / "kge" / "kge_final.npz")
 
 
+def test_pkgm_pretrain_cli_do_eval(corpus, capsys):
+    """--do_eval runs filtered link prediction on valid2id.txt through the
+    matmul-expanded pkgm candidate scorers (the reference's optional
+    LinkPredictionEvaluator, pkgm_pretrain.py:117-135)."""
+    out = corpus / "processed"
+    if not (out / "train2id.txt").exists():
+        main(["prepare", "--data_dir", str(corpus / "raw"),
+              "--output_dir", str(out)])
+        capsys.readouterr()
+    # the prepare step writes an empty valid split (like the reference);
+    # carve a few train triples out as validation
+    train = (out / "train2id.txt").read_text().strip("\n").splitlines()
+    (out / "valid2id.txt").write_text("\n".join(train[:5]) + "\n")
+    rc = main(["pkgm-pretrain", "--data_dir", str(out),
+               "--output_dir", str(corpus / "kge_eval"),
+               "--model_name", "pkgm", "--embedding_dim", "16",
+               "--batch_size", "16", "--epochs", "2", "--do_eval"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(res["mrr"]) and 0.0 < res["mrr"] <= 1.0
+    assert 0.0 <= res["hit10"] <= 1.0
+
+
 def test_ensemble_cli(corpus, capsys, tmp_path):
     outdir = corpus / "output" / "m1"
     outdir.mkdir(parents=True, exist_ok=True)
