@@ -48,6 +48,9 @@ run train_bs32_nodropout 1500 python benchmarks/bench_train.py \
   --batch_size 32 --no_dropout
 run train_bs32_breakdown2 1800 python benchmarks/bench_train.py \
   --batch_size 32 --breakdown
+# "dots" at bs64 keeps every [64, 512, 4096] MLP intermediate resident
+# (measured 19.28G vs 15.75G HBM, /root/bench_r3/train_bs64_remat.log);
+# "full" saves only layer inputs and fits
 run train_bs64_remat_retry 2400 python benchmarks/bench_train.py \
-  --batch_size 64 --remat
+  --batch_size 64 --remat --remat_policy full
 echo "=== [r3f] queue complete @ $(date +%s) ===" | tee -a "$OUT/queue.log"
