@@ -82,12 +82,21 @@ def main():
         t0 = time.perf_counter()
         ev.evaluate()
         t_eval = time.perf_counter() - t0
+        # second pass hits the jit cache: the marginal (steady-state) rate
+        # is what a full test-set eval pays per triple after the two
+        # one-off compiles
+        t0 = time.perf_counter()
+        ev.evaluate()
+        t_marginal = time.perf_counter() - t0
+        marginal_tps = args.eval_triples / t_marginal
         raw_mrr, filt_mrr = ev.mrr()
         out.update({
             "eval_triples": args.eval_triples,
             "eval_setup_s": round(t_setup, 1),
             "eval_wall_s": round(t_eval, 1),
             "eval_triples_per_sec": round(args.eval_triples / t_eval, 1),
+            "eval_marginal_triples_per_sec": round(marginal_tps, 1),
+            "eval_3m_est_minutes": round(3e6 / marginal_tps / 60, 1),
             "filtered_mrr": round(filt_mrr, 4),
             "filtered_hit10": round(ev.hit_at_k(10)[1], 4),
             "raw_mrr": round(raw_mrr, 4),
