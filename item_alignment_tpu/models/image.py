@@ -97,14 +97,16 @@ class ViTBlock(nn.Module):
 
 
 class ViT(nn.Module):
-    """vit_base_patch16_384-shaped encoder; returns (cls, tokens) like the
-    reference subclass (image.py:382-460)."""
+    """Config-shaped ViT encoder; returns (cls, tokens) like the reference
+    subclass (image.py:382-412: embed_dim=hidden_size,
+    depth=num_hidden_layers, num_heads=num_attention_heads, mlp_ratio=4)."""
 
     image_size: int = 384
     patch_size: int = 16
     dim: int = 768
     depth: int = 12
     heads: int = 12
+    mlp_ratio: float = 4.0
     dropout: float = 0.0
     dtype: Optional[Any] = None
     quant: Optional[str] = None
@@ -127,7 +129,8 @@ class ViT(nn.Module):
         x = x + pos.astype(x.dtype)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         for i in range(self.depth):
-            x = ViTBlock(self.dim, self.heads, dropout=self.dropout,
+            x = ViTBlock(self.dim, self.heads, mlp_ratio=self.mlp_ratio,
+                         dropout=self.dropout,
                          dtype=self.dtype, quant=self.quant,
                          name=f"block_{i}")(x, deterministic)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
@@ -401,7 +404,14 @@ class NFNet(nn.Module):
 
 
 BACKBONES = {
+    # config-faithful shapes (reference image.py:382-396 builds
+    # VisionTransformer(embed_dim=hidden_size, depth=num_hidden_layers,
+    # num_heads=num_attention_heads, mlp_ratio=4) straight from the JSON
+    # config, so vit_large_patch16_384.json must yield a 24L/1024/16h tower)
     "vit": lambda cfg: ViT(image_size=cfg.image_size, patch_size=cfg.patch_size,
+                           dim=cfg.hidden_size, depth=cfg.num_hidden_layers,
+                           heads=cfg.num_attention_heads,
+                           mlp_ratio=cfg.intermediate_size / cfg.hidden_size,
                            dropout=cfg.hidden_dropout_prob,
                            dtype=jnp.bfloat16 if cfg.dtype == "bfloat16"
                            else None, quant=cfg.quant),

@@ -264,10 +264,15 @@ class CoCaModel(nn.Module):
     def setup(self):
         cfg = self.config
         self.text_encoder = RobertaBackbone(cfg, name="text_encoder")
+        # config-shaped image tower like the reference's ViT(config)
+        # (coca_pretrain.py:133, image.py:382-396): coca_large gets a
+        # 24-layer/1024-dim/16-head encoder, coca_base a 12-layer one
         self.img_encoder = ViT(
             image_size=cfg.image_size, patch_size=cfg.patch_size,
-            dim=cfg.hidden_size, depth=12,
-            heads=cfg.num_attention_heads, name="img_encoder")
+            dim=cfg.hidden_size, depth=cfg.num_hidden_layers,
+            heads=cfg.num_attention_heads,
+            mlp_ratio=cfg.intermediate_size / cfg.hidden_size,
+            name="img_encoder")
 
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
                  position_ids=None, images=None, deterministic: bool = True):

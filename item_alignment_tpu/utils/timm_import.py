@@ -38,10 +38,17 @@ from typing import Any, Dict
 import numpy as np
 
 
-def convert_timm_vit(sd: Dict[str, np.ndarray], num_heads: int = 12
+def convert_timm_vit(sd: Dict[str, np.ndarray], num_heads: int = None
                      ) -> Dict[str, Any]:
     sd = {k: np.asarray(v) for k, v in sd.items()}
     D = sd["cls_token"].shape[-1]
+    if num_heads is None:
+        # timm 0.6.5 vision_transformer.py: every vit_{base,large,huge}
+        # variant uses head_dim 64 (768/12, 1024/16, 1280/16-ish), so the
+        # head count is recoverable from the checkpoint's embed dim —
+        # this keeps vit_large checkpoints converting correctly without
+        # the caller having to thread num_heads
+        num_heads = D // 64
     head_dim = D // num_heads
 
     def ln(prefix):
@@ -118,7 +125,7 @@ def _load_converted(params: Dict[str, Any], converted: Dict[str, Any]
 
 
 def load_timm_vit(params: Dict[str, Any], sd: Dict[str, np.ndarray],
-                  num_heads: int = 12, strict: bool = True) -> Dict[str, Any]:
+                  num_heads: int = None, strict: bool = True) -> Dict[str, Any]:
     """Overlay converted timm weights onto an initialized ViT param tree
     (``{"params": ...}`` from ``ViT.init``), asserting exact shape match."""
     return _load_converted(params, convert_timm_vit(sd, num_heads))
@@ -240,7 +247,7 @@ def load_timm_resnetv2(params: Dict[str, Any], sd: Dict[str, np.ndarray]
 
 
 def convert_for_model_name(model_name: str, sd: Dict[str, np.ndarray],
-                           num_heads: int = 12) -> Dict[str, Any]:
+                           num_heads: int = None) -> Dict[str, Any]:
     """Dispatch on the reference ``--model_name`` strings
     (finetune_image.py:191-218: nfnet / vit / resnet substring match)."""
     if "nfnet" in model_name:
@@ -253,7 +260,7 @@ def convert_for_model_name(model_name: str, sd: Dict[str, np.ndarray],
 
 
 def load_timm_backbone(params: Dict[str, Any], sd: Dict[str, np.ndarray],
-                       model_name: str, num_heads: int = 12
+                       model_name: str, num_heads: int = None
                        ) -> Dict[str, Any]:
     """Overlay converted timm weights into a pair-model param tree
     (e.g. ``ImageTwoTower``): locates the backbone submodule (auto-named

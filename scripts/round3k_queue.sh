@@ -24,7 +24,12 @@ run() {
       echo "=== [r3k] $name SKIPPED (deadline) @ $(date +%s) ===" | tee -a "$OUT/queue.log"
       return
     fi
-    [ "$l" -lt "$t" ] && t=$l
+    # a clipped timeout kills the job mid-run (rc=124) — log it so those
+    # entries can be told apart from genuine hangs when summarizing
+    if [ "$l" -lt "$t" ]; then
+      echo "=== [r3k] $name CLIPPED to ${l}s (deadline) ===" | tee -a "$OUT/queue.log"
+      t=$l
+    fi
   fi
   echo "=== [r3k] $name @ $(date +%s) ===" | tee -a "$OUT/queue.log"
   timeout "$t" "$@" > "$OUT/$name.log" 2>&1
@@ -32,7 +37,7 @@ run() {
 }
 
 run kge_eval_marginal 1500 python benchmarks/bench_kge.py --epochs 1 \
-  --eval_triples 2048
+  --eval_triples 2048 --eval_marginal
 run train_bs16_no_dropout 700 python benchmarks/bench_train.py \
   --batch_size 16 --no_dropout
 echo "=== [r3k] queue complete @ $(date +%s) ===" | tee -a "$OUT/queue.log"
