@@ -20,6 +20,7 @@ forward and backward regenerating the identical keep mask from the same
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -164,18 +165,42 @@ fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _keep_scale(bits, rate: float):
-    """uint32 bits -> keep mask scaled by 1/(1-rate) (inverted dropout)."""
-    threshold = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
-    keep = (pltpu.bitcast(bits, jnp.uint32) >= threshold)
-    return keep.astype(jnp.float32) / (1.0 - rate)
+def _dropout_consts(rate: float):
+    """Static (threshold, keep_prob) for 8-bit dropout draws.
+
+    The mask compares uint8 random bytes against ``round(rate * 256)``, so
+    the EFFECTIVE drop rate is quantized to 1/256 (0.1 -> 26/256 =
+    0.1016); the inverted-dropout rescale uses the effective keep
+    probability, keeping E[dropout(p)] == p exactly.  8-bit draws pull 4x
+    fewer bits from the hardware PRNG than the previous per-element uint32
+    words — the dropout-forward's measured gap vs the deterministic kernel
+    (45% vs 60.6% MFU, COVERAGE r3) was dominated by mask generation."""
+    t = int(round(rate * 256.0))
+    return t, 1.0 - t / 256.0
+
+
+def _keep_mask_u8(shape, threshold: int):
+    """Boolean keep mask of ``shape`` from uint8 hardware-RNG draws.
+
+    Draws ceil(rows/4) uint32 rows and bitcasts to uint8 (pltpu.bitcast
+    unpacks along the second-minor dim), slicing off the padding rows when
+    ``rows`` isn't a multiple of 4 (the 510-token pair layout).  Forward
+    and backward kernels call this with identical shapes after identical
+    seeding, so the masks regenerate exactly."""
+    rows, cols = shape
+    words = (rows + 3) // 4
+    bits8 = pltpu.bitcast(pltpu.prng_random_bits((words, cols)), jnp.uint8)
+    if bits8.shape[0] != rows:
+        bits8 = bits8[:rows]
+    return bits8 >= jnp.uint8(threshold)
 
 
 def _attn_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
                          lse_ref, *, scale: float, heads_in_cell: int,
                          head_dim: int, rate: float):
     S = q_ref.shape[1]
-    if rate > 0.0:
+    threshold, keep_prob = _dropout_consts(rate)
+    if threshold > 0:
         # hardware seeding takes at most 2 values: fold
         # (batch_row, head_group) into one
         cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
@@ -195,10 +220,13 @@ def _attn_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
         # per-row logsumexp saved for the backward (skips its max+sum
         # recompute — VERDICT r2 "train MFU" item b)
         lse_ref[0, h:h + 1, :] = (m + jnp.log(denom)).reshape(1, S)
-        if rate > 0.0:
+        if threshold > 0:
             # one draw per head, in head order — the backward kernel
-            # replays the identical sequence
-            p = p * _keep_scale(pltpu.prng_random_bits((S, S)), rate)
+            # replays the identical sequence.  Inverted-dropout rescale
+            # (1/keep_prob) folds into the [S, 1] denominator instead of
+            # an [S, S] mask multiply.
+            p = jnp.where(_keep_mask_u8((S, S), threshold), p, 0.0)
+            denom = denom * keep_prob
         o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -210,7 +238,8 @@ def _attn_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
                              scale: float, heads_in_cell: int, head_dim: int,
                              rate: float):
     S = q_ref.shape[1]
-    if rate > 0.0:
+    threshold, keep_prob = _dropout_consts(rate)
+    if threshold > 0:
         # hardware seeding takes at most 2 values: fold
         # (batch_row, head_group) into one
         cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
@@ -226,28 +255,37 @@ def _attn_dropout_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale + bias
         # normalized probs straight from the saved forward stats (no
-        # max/sum recompute; numerics match the forward's p/denom)
+        # max/sum recompute; numerics match the forward's p/denom).
+        # With dropout the 1/keep_prob rescale folds into the [S, 1]
+        # exponent shift: exp(s - (lse + ln keep)) = probs / keep_prob.
         lse = lse_ref[0, h, :].reshape(-1, 1)
-        probs = jnp.exp(scores - lse)
-        if rate > 0.0:
-            keep = _keep_scale(pltpu.prng_random_bits((S, S)), rate)
-            pd = probs * keep  # dropped probs (what the fwd multiplied v by)
+        delta = delta_ref[0, h, :].reshape(-1, 1)
+        if threshold > 0:
+            probs_r = jnp.exp(scores - (lse + math.log(keep_prob)))
+            keep = _keep_mask_u8((S, S), threshold)
+            pd = jnp.where(keep, probs_r, 0.0)  # == probs * keep / keep_prob
         else:
-            pd = probs
+            probs_r = jnp.exp(scores - lse)
+            pd = probs_r
         # dv = pd^T @ g
         dv = jax.lax.dot_general(
             pd.astype(g.dtype), g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
-        # d(pd) = g @ v^T ; dprobs = d(pd) * keep
+        # d(pd) = g @ v^T
         dpd = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        dprobs = dpd * keep if rate > 0.0 else dpd
-        # softmax backward.  The row term rowsum(dprobs*probs) — a lane
-        # reduction over the [S, S] tile — equals rowsum(g*o) (= delta,
-        # computed outside as one fused XLA pass), dropout included.
-        delta = delta_ref[0, h, :].reshape(-1, 1)
-        ds = (probs * (dprobs - delta)).astype(q.dtype)
+        # softmax backward ds = probs*(dprobs - delta) with dprobs =
+        # dpd*keep/keep_prob; in rescaled terms probs = probs_r*keep_prob:
+        # ds = probs_r * (where(keep, dpd, 0) - delta*keep_prob).  The row
+        # term rowsum(dprobs*probs) — a lane reduction over the [S, S]
+        # tile — equals rowsum(g*o) (= delta, computed outside as one
+        # fused XLA pass), dropout included.
+        if threshold > 0:
+            ds = (probs_r * (jnp.where(keep, dpd, 0.0)
+                             - delta * keep_prob)).astype(q.dtype)
+        else:
+            ds = (probs_r * (dpd - delta)).astype(q.dtype)
         # scale folded into the [S, H] operands instead of an [S, S] pass
         dq = jax.lax.dot_general(
             ds, k * jnp.asarray(scale, k.dtype), (((1,), (0,)), ((), ())),
@@ -423,6 +461,7 @@ def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
     underflow note above _row_sum_mxu for why the exact max is required.)"""
     kv_i = pl.program_id(3)
     n_kv = pl.num_programs(3)
+    threshold, keep_prob = _dropout_consts(rate)
 
     @pl.when(kv_i == 0)
     def _init():
@@ -433,7 +472,7 @@ def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    if rate > 0.0:
+    if threshold > 0:
         _flash_tile_seed(seed_ref, pl.program_id(0), pl.program_id(1),
                          pl.program_id(2), kv_i, pl.num_programs(2), n_kv,
                          pl.num_programs(1))
@@ -453,8 +492,10 @@ def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
         # l accumulates UNdropped mass (the softmax denominator); dropout
         # multiplies the normalized probabilities, which commutes with /l
         l_new = l_scratch[h][:, :1] * alpha + _row_sum_mxu(p)
-        if rate > 0.0:
-            p = p * _keep_scale(pltpu.prng_random_bits(p.shape), rate)
+        if threshold > 0:
+            # inverted-dropout 1/keep_prob rescale folds into the final
+            # [bq, 1] divide (see _final)
+            p = jnp.where(_keep_mask_u8(p.shape, threshold), p, 0.0)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # [bq, H]
@@ -467,7 +508,8 @@ def _flash_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref,
         for h in range(heads_in_cell):
             sl = slice(h * head_dim, (h + 1) * head_dim)
             l_fin = jnp.maximum(l_scratch[h][:, :1], 1e-37)
-            o_ref[0, :, sl] = (acc_scratch[:, sl] / l_fin).astype(o_ref.dtype)
+            div = l_fin * keep_prob if threshold > 0 else l_fin
+            o_ref[0, :, sl] = (acc_scratch[:, sl] / div).astype(o_ref.dtype)
             lse = m_scratch[h][:, :1] + jnp.log(l_fin)     # [bq, 1]
             lse_ref[0, h:h + 1, :] = lse.reshape(1, -1)
 
@@ -478,12 +520,13 @@ def _flash_dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
                      rate: float):
     kv_i = pl.program_id(3)
     n_kv = pl.num_programs(3)
+    threshold, keep_prob = _dropout_consts(rate)
 
     @pl.when(kv_i == 0)
     def _init():
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    if rate > 0.0:
+    if threshold > 0:
         _flash_tile_seed(seed_ref, pl.program_id(0), pl.program_id(1),
                          pl.program_id(2), kv_i, pl.num_programs(2), n_kv,
                          pl.num_programs(1))
@@ -499,11 +542,17 @@ def _flash_dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale + bias
-        p = jnp.exp(s - lse)                               # normalized probs
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        if rate > 0.0:
-            dp = dp * _keep_scale(pltpu.prng_random_bits(p.shape), rate)
+        # ds = probs*(dp*keep/keep_prob - delta)
+        #    = probs_r*(where(keep, dp, 0) - delta*keep_prob)
+        # with probs_r = probs/keep_prob via the [bq, 1] lse shift
+        if threshold > 0:
+            p = jnp.exp(s - (lse + math.log(keep_prob)))
+            dp = jnp.where(_keep_mask_u8(p.shape, threshold), dp, 0.0)
+            delta = delta * keep_prob
+        else:
+            p = jnp.exp(s - lse)                           # normalized probs
         ds = (p * (dp - delta)).astype(k.dtype)
         acc_scratch[:, sl] += jax.lax.dot_general(
             ds, k * jnp.asarray(scale, k.dtype), (((1,), (0,)), ((), ())),
@@ -521,13 +570,14 @@ def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
                       rate: float):
     q_i = pl.program_id(3)
     n_q = pl.num_programs(3)
+    threshold, keep_prob = _dropout_consts(rate)
 
     @pl.when(q_i == 0)
     def _init():
         dk_scratch[...] = jnp.zeros_like(dk_scratch)
         dv_scratch[...] = jnp.zeros_like(dv_scratch)
 
-    if rate > 0.0:
+    if threshold > 0:
         # NB tile composite must match the fwd/dq kernels: (qi, ki) with
         # this kernel's grid being (ki outer, qi inner)
         _flash_tile_seed(seed_ref, pl.program_id(0), pl.program_id(1),
@@ -545,19 +595,22 @@ def _flash_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale + bias                                   # [bq, bkv]
-        p = jnp.exp(s - lse)
-        if rate > 0.0:
-            keep = _keep_scale(pltpu.prng_random_bits(p.shape), rate)
-            pd = p * keep
+        if threshold > 0:
+            # rescaled probs p_r = probs/keep_prob (the [bq, 1] lse shift)
+            p = jnp.exp(s - (lse + math.log(keep_prob)))
+            keep = _keep_mask_u8(p.shape, threshold)
+            pd = jnp.where(keep, p, 0.0)       # == probs*keep/keep_prob
         else:
+            p = jnp.exp(s - lse)
             pd = p
         dv_scratch[:, sl] += jax.lax.dot_general(
             pd.astype(g.dtype), g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        if rate > 0.0:
-            dp = dp * keep
+        if threshold > 0:
+            dp = jnp.where(keep, dp, 0.0)
+            delta = delta * keep_prob
         ds = (p * (dp - delta)).astype(q.dtype)
         dk_scratch[:, sl] += jax.lax.dot_general(
             ds, q * jnp.asarray(scale, q.dtype), (((0,), (0,)), ((), ())),
