@@ -141,7 +141,12 @@ def _common_train_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--quant", default=None, choices=["int8"],
                    help="int8 MXU path for the encoder's dense projections "
                         "(inference knob for --do_pred/--do_eval runs; v5e "
-                        "runs int8 matmuls at 2x the bf16 rate)")
+                        "runs int8 matmuls at 2x the bf16 rate). Measured "
+                        "on v5e: +20%% on the ViT-384 image tower; SLOWER "
+                        "than bf16 on the 510-token text cross-encoder and "
+                        "two-tower mining (dynamic activation quant "
+                        "overhead; see COVERAGE.md honest negatives) -- "
+                        "use for image towers, skip for text")
     p.add_argument("--fuse_qkv", action="store_true",
                    help="one [H, 3H] q/k/v projection matmul per encoder "
                         "layer instead of three [H, H]; param-tree "
@@ -342,11 +347,19 @@ def cmd_prepare(argv: List[str]) -> int:
     p.add_argument("--min_crop_ratio", type=float, default=0.1)
     p.add_argument("--detector", default="saliency",
                    choices=["saliency", "none"],
-                   help="box source when no --boxes_file: 'saliency' = the "
-                        "offline background-segmentation fallback detector "
-                        "(data/images.py propose_box_saliency, standing in "
-                        "for the reference's torch.hub YOLOv5); 'none' "
-                        "copies images uncropped")
+                   help="box source when no --boxes_file/--yolo_weights: "
+                        "'saliency' = the offline background-segmentation "
+                        "fallback detector (data/images.py "
+                        "propose_box_saliency, standing in for the "
+                        "reference's torch.hub YOLOv5); 'none' copies "
+                        "images uncropped")
+    p.add_argument("--yolo_weights", default=None,
+                   help="locally exported YOLOv5 TorchScript file: runs the "
+                        "REAL detector for --object_detection on CPU torch "
+                        "(data/yolo.py; the reference's torch.hub download, "
+                        "data_prepare.py:1450-1505, needs network access)")
+    p.add_argument("--yolo_imgsz", type=int, default=640)
+    p.add_argument("--yolo_conf_thres", type=float, default=0.25)
     p.add_argument("--images_dir", default=None,
                    help="defaults to <data_dir>/item_images[_cropped]")
     p.add_argument("--shard_size", type=int, default=1024)
@@ -545,6 +558,12 @@ def _prepare_object_detection(args) -> int:
                 if line.strip():
                     d = json.loads(line)
                     boxes[d["item_id"]] = d["boxes"]
+    elif args.yolo_weights:
+        from item_alignment_tpu.data.yolo import YoloTorchscriptDetector
+        detector = YoloTorchscriptDetector(
+            args.yolo_weights, imgsz=args.yolo_imgsz,
+            conf_thres=args.yolo_conf_thres)
+        logger.info("YOLOv5 TorchScript detector: %s", args.yolo_weights)
     elif args.detector == "saliency":
         from item_alignment_tpu.data.images import propose_box_saliency
         detector = propose_box_saliency

@@ -54,6 +54,27 @@ def quantize_colwise(w: jax.Array):
     return w_q.astype(jnp.int8), scale
 
 
+def int8_matmul_prequant(x_q: jax.Array, x_scale: jax.Array,
+                         kernel: jax.Array, bias=None,
+                         out_dtype=jnp.float32) -> jax.Array:
+    """int8 MXU matmul with ALREADY-quantized activations.
+
+    Lets callers with several projections off the same input (the
+    attention Q/K/V trio) pay the dynamic per-token quantization — an
+    extra read+reduce+write over the [rows, D_in] activations — once
+    instead of once per matmul; the measured int8 text-path loss
+    (COVERAGE r3 honest negatives) is dominated by exactly that
+    activation-side VPU/HBM work."""
+    w_q, w_scale = quantize_colwise(kernel)
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)              # [rows, D_out] int32
+    y = acc.astype(jnp.float32) * (x_scale * w_scale)  # rank-1 dequant
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 def int8_matmul(x: jax.Array, kernel: jax.Array, bias=None,
                 out_dtype=jnp.float32) -> jax.Array:
     """``x @ kernel + bias`` with both operands dynamically quantized to
@@ -64,11 +85,5 @@ def int8_matmul(x: jax.Array, kernel: jax.Array, bias=None,
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     x_q, x_scale = quantize_rowwise(x2)
-    w_q, w_scale = quantize_colwise(kernel)
-    acc = jax.lax.dot_general(
-        x_q, w_q, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)              # [rows, D_out] int32
-    y = acc.astype(jnp.float32) * (x_scale * w_scale)  # rank-1 dequant
-    if bias is not None:
-        y = y + bias.astype(jnp.float32)
-    return y.astype(out_dtype).reshape(*lead, kernel.shape[-1])
+    y = int8_matmul_prequant(x_q, x_scale, kernel, bias, out_dtype)
+    return y.reshape(*lead, kernel.shape[-1])
