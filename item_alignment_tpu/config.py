@@ -71,6 +71,11 @@ class ModelConfig:
     kg_embedding_dim: int = 768
     max_pvs: int = 30
     entity_projection_bias: bool = False
+    # "reference": reproduce the reference's F.normalize(dim=1) over the
+    # [B,1,D] entity slice (elementwise sign-like, base.py:358) so converted
+    # checkpoints match torch logits; "l2": the presumably-intended unit
+    # L2 norm over the embedding dim
+    kg_entity_normalize: str = "reference"
 
     # --- multimodal extension ---
     ensemble: Optional[str] = None            # begin | end | sum | cross_attn

@@ -126,7 +126,19 @@ class PKGMEmbeddings(nn.Module):
     def _item_kg_embeds(self, entity_ids, relation_ids):
         """entity_ids [B], relation_ids [B, P] -> [B, 2P, H]."""
         h = self.ent_emb(entity_ids[:, None])  # [B,1,D]
-        h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+        if self.config.kg_entity_normalize == "l2":
+            # the presumably-intended semantics: unit L2 norm over the
+            # embedding dim (torchkge normalize_parameters does this)
+            h = h / jnp.maximum(
+                jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+        else:
+            # reference-exact (base.py:358): F.normalize with torch's
+            # DEFAULT dim=1 over the [B, 1, D] entity slice — a norm over
+            # the singleton axis, i.e. elementwise x / max(|x|, 1e-12)
+            # (sign-like).  Reproduced so converted checkpoints match the
+            # torch logits; opt into the fix with
+            # config.kg_entity_normalize="l2".
+            h = h / jnp.maximum(jnp.abs(h), 1e-12)
         r = self.rel_emb(relation_ids)         # [B,P,D]
         h_proj = self.proj_mat(h)
         if self.ent_projector is not None:
