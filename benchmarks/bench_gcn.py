@@ -44,6 +44,11 @@ def main():
     p.add_argument("--compile_only", action="store_true",
                    help="AOT-lower + compile the train step, print compile "
                         "seconds, and exit without running")
+    p.add_argument("--scan_layers", action="store_true",
+                   help="nn.scan over the GCN2Conv stack: the compiled "
+                        "program contains ONE layer body instead of 4, "
+                        "shrinking the fwd+bwd compile that the remote "
+                        "relay killed at reference scale (r3)")
     args = p.parse_args()
 
     if args.compilation_cache_dir:
@@ -77,6 +82,7 @@ def main():
     cfg = ModelConfig(model_name="gcn", gcn_hidden=128, gcn_layers=4,
                       gcn_feature_dim=F, hidden_dropout_prob=0.0,
                       gcn_edge_chunk=args.edge_chunk,
+                      gcn_scan_layers=args.scan_layers,
                       gcn_sorted_edges=True)
 
     if not args.train:
@@ -138,6 +144,7 @@ def main():
     print(json.dumps({"metric": "gcnii_full_graph_train_step",
                       "nodes": N, "edges": E,
                       "edge_chunk": args.edge_chunk,
+                      "scan_layers": args.scan_layers,
                       "ms_per_step": round(dt * 1000, 1)}))
 
 
