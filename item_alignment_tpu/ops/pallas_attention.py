@@ -184,15 +184,20 @@ def _keep_mask_u8(shape, threshold: int):
 
     Draws ceil(rows/4) uint32 rows and bitcasts to uint8 (pltpu.bitcast
     unpacks along the second-minor dim), slicing off the padding rows when
-    ``rows`` isn't a multiple of 4 (the 510-token pair layout).  Forward
-    and backward kernels call this with identical shapes after identical
-    seeding, so the masks regenerate exactly."""
+    ``rows`` isn't a multiple of 4 (the 510-token pair layout).  The
+    byte values widen to int32 for the threshold compare — Mosaic's VPU
+    lanes are 32-bit and vector<i8> cmpi is rejected with "Target does
+    not support this comparison" (measured on v5e); the widening is a
+    cheap elementwise ext while the PRNG draw count stays 1/4 of the
+    per-element-uint32 scheme.  Forward and backward kernels call this
+    with identical shapes after identical seeding, so the masks
+    regenerate exactly."""
     rows, cols = shape
     words = (rows + 3) // 4
     bits8 = pltpu.bitcast(pltpu.prng_random_bits((words, cols)), jnp.uint8)
     if bits8.shape[0] != rows:
         bits8 = bits8[:rows]
-    return bits8 >= jnp.uint8(threshold)
+    return bits8.astype(jnp.int32) >= jnp.int32(threshold)
 
 
 def _attn_dropout_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
