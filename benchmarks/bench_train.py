@@ -24,7 +24,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--remat", action="store_true")
-    p.add_argument("--remat_policy", default="dots", choices=["dots", "full"])
+    p.add_argument("--remat_policy", default="dots",
+                   choices=["dots", "full", "mlp"])
     p.add_argument("--opt", default="fused", choices=["fused", "optax"],
                    help="fused single-pass AdamW (engine.optim.fused_adamw) "
                         "vs plain optax.adamw")

@@ -132,13 +132,20 @@ class ModelConfig:
     remat: bool = False                       # rematerialize encoder layers
                                               # (jax.checkpoint) to cut HBM
                                               # use during training
-    remat_policy: str = "dots"                # full | dots; "dots" saves all
-                                              # matmul outputs and recomputes
-                                              # only cheap elementwise/softmax
-                                              # work (flash-attention-like
-                                              # memory at ~no FLOP cost),
-                                              # "full" recomputes the whole
-                                              # layer (max memory savings)
+    remat_policy: str = "dots"                # full | dots | mlp; "dots"
+                                              # saves all matmul outputs and
+                                              # recomputes only cheap
+                                              # elementwise/softmax work
+                                              # (flash-attention-like memory
+                                              # at ~no FLOP cost), "full"
+                                              # recomputes the whole layer
+                                              # (max memory savings), "mlp"
+                                              # drops ONLY the [B, S, 4H]
+                                              # wide MLP tensors (one
+                                              # intermediate-matmul of
+                                              # recompute; the cheapest
+                                              # policy that fits batch 32+
+                                              # on a 16GB chip)
     quant: Optional[str] = None               # None | "int8": int8 MXU path
                                               # for the encoder's dense
                                               # projections (inference knob;

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from item_alignment_tpu.config import ModelConfig
+from item_alignment_tpu.ops.dropout import ReplayDropout
 
 
 def create_position_ids(input_ids: jax.Array, padding_idx: int) -> jax.Array:
@@ -54,7 +55,8 @@ class EmbedPostprocess(nn.Module):
                       embedding_init=nn.initializers.normal(cfg.initializer_range))
         x = inputs_embeds + tte(token_type_ids) + pe(position_ids)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x)
-        x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
+        # mask regenerated in the backward, not saved (ops/dropout.py)
+        x = ReplayDropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
         return x
 
 

@@ -16,6 +16,7 @@ from typing import Any, List, Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from item_alignment_tpu.config import ModelConfig
 from item_alignment_tpu.ops.attention import (
@@ -23,6 +24,7 @@ from item_alignment_tpu.ops.attention import (
     flash_attention,
     make_attention_bias,
 )
+from item_alignment_tpu.ops.dropout import ReplayDropout
 
 ACT = {
     "gelu": lambda x: jax.nn.gelu(x, approximate=False),
@@ -157,7 +159,10 @@ class TransformerLayer(nn.Module):
     def __call__(self, hidden, bias, deterministic: bool = True):
         cfg = self.config
         dt = _compute_dtype(cfg)
-        drop = nn.Dropout(cfg.hidden_dropout_prob)
+        # replay dropout: the backward regenerates the keep mask from the
+        # PRNG key instead of saving a [B, S, H] mask residual per site
+        # (2 sites x 24 layers on the flagship — see ops/dropout.py)
+        drop = ReplayDropout(cfg.hidden_dropout_prob)
         attn_out = SelfAttention(cfg, name="attention")(hidden, bias, deterministic)
         attn_out = drop(attn_out, deterministic=deterministic)
         # LN stats are always computed in fp32 internally (flax); dtype=dt
@@ -166,10 +171,16 @@ class TransformerLayer(nn.Module):
                               name="attention_layer_norm")(hidden + attn_out)
 
         act = ACT[cfg.hidden_act]
+        # the [B, S, 4H] wide tensors are tagged so remat_policy == "mlp"
+        # can drop EXACTLY them (pre-act + post-act, by far the largest
+        # residuals) and keep everything else resident: +1 intermediate
+        # matmul of recompute buys back ~45% of the saved-activation bytes
         mlp = _dense_cls(cfg)(
             cfg.intermediate_size, name="intermediate", dtype=dt,
             kernel_init=nn.initializers.normal(cfg.initializer_range))(hidden)
+        mlp = checkpoint_name(mlp, "mlp_wide")
         mlp = act(mlp)
+        mlp = checkpoint_name(mlp, "mlp_wide")
         mlp = _dense_cls(cfg)(
             cfg.hidden_size, name="mlp_output", dtype=dt,
             kernel_init=nn.initializers.normal(cfg.initializer_range))(mlp)
@@ -207,6 +218,14 @@ class TransformerEncoder(nn.Module):
             policy = None
             if cfg.remat_policy == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif cfg.remat_policy == "mlp":
+                # keep everything resident EXCEPT the [B, S, 4H] wide MLP
+                # tensors tagged in TransformerLayer: per flagship layer
+                # that trades one [S, H]x[H, 4H] recompute matmul for
+                # 2 x (4H/H) x the residual stream's bytes — the policy
+                # that lets batch 32/64 train without full-layer recompute
+                policy = jax.checkpoint_policies.save_anything_except_these_names(
+                    "mlp_wide")
             layer_cls = nn.remat(TransformerLayer, policy=policy,
                                  static_argnums=(3,))  # deterministic
         states = [hidden]
