@@ -53,7 +53,8 @@ for log in ("train_log.txt", "predict_log.txt"):
         text = open(f"{data_dir}/{log}").read()
     except FileNotFoundError:
         continue
-    marks = re.findall(r"=== \[train.sh\] step (\S+) @ (\d+) ===", text)
+    marks = re.findall(r"=== \[(?:train|predict).sh\] step (\S+) @ (\d+) ===",
+                       text)
     for (name, t0), (_, t1) in zip(marks, marks[1:]):
         rows.append({"step": name, "seconds": int(t1) - int(t0)})
 print(json.dumps({"per_step_seconds": rows}, indent=1))
