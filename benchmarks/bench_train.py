@@ -29,6 +29,11 @@ def main():
     p.add_argument("--opt", default="fused", choices=["fused", "optax"],
                    help="fused single-pass AdamW (engine.optim.fused_adamw) "
                         "vs plain optax.adamw")
+    p.add_argument("--opt_state_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype for AdamW moments: bf16 cuts the "
+                        "optimizer pass's HBM bytes ~43% and frees 1.4GB "
+                        "on the flagship (fp32 arithmetic either way)")
     p.add_argument("--fuse_qkv", action="store_true",
                    help="one [H, 3H] q/k/v projection matmul per layer")
     p.add_argument("--no_dropout", action="store_true",
@@ -60,7 +65,8 @@ def main():
     params = jax.jit(model.init)({"params": rng, "dropout": rng},
                                  ids[0], mask[0], labels=labels[0])["params"]
     ocfg = OptimizerConfig(learning_rate=5e-5, total_steps=16000,
-                           fused=(args.opt == "fused"))
+                           fused=(args.opt == "fused"),
+                           state_dtype=args.opt_state_dtype)
     tx = make_optimizer(ocfg, params)
     opt_state = tx.init(params)
 
@@ -166,7 +172,7 @@ def main():
         "remat": args.remat, "fuse_qkv": args.fuse_qkv,
         "no_dropout": args.no_dropout,
         "remat_policy": args.remat_policy if args.remat else None,
-        "opt": args.opt,
+        "opt": args.opt, "opt_state_dtype": args.opt_state_dtype,
         # ~65k train pairs x 10 epochs at this batch size
         "flagship_10epoch_est_hours": round(
             (650_000 / B) * (dt / iters) / 3600, 2),

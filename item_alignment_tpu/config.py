@@ -290,6 +290,14 @@ class OptimizerConfig:
     # single-pass AdamW update (engine/optim.py fused_adamw); False falls
     # back to optax.adamw (same math, three tree walks)
     fused: bool = True
+    # storage dtype for the fused optimizer's first/second moments
+    # ("float32" | "bfloat16").  The AdamW update is pure HBM traffic at
+    # flagship scale; bf16 moments cut the optimizer's bytes by ~43% and
+    # free 1.4GB of HBM on a 330M-param model for larger train batches.
+    # Moment ARITHMETIC stays fp32 (read-upcast, write-downcast); the
+    # quantization adds ~0.4% relative noise to the update direction.
+    # Opt-in: the reference trains with fp32 torch Adam state.
+    state_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

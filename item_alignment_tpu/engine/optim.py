@@ -22,7 +22,8 @@ class FusedAdamWState(NamedTuple):
 
 
 def fused_adamw(schedule, b1: float, b2: float, eps: float,
-                weight_decay: float, mask_tree: Any
+                weight_decay: float, mask_tree: Any,
+                state_dtype: Any = jnp.float32
                 ) -> optax.GradientTransformation:
     """AdamW as ONE per-leaf pass (same math as ``optax.adamw`` with a
     decay mask and schedule, bias correction included).
@@ -35,10 +36,11 @@ def fused_adamw(schedule, b1: float, b2: float, eps: float,
     Python bools (True = apply weight decay)."""
 
     def init_fn(params):
+        zeros = lambda p: jnp.zeros(p.shape, state_dtype)  # noqa: E731
         return FusedAdamWState(
             count=jnp.zeros([], jnp.int32),
-            mu=jax.tree.map(jnp.zeros_like, params),
-            nu=jax.tree.map(jnp.zeros_like, params))
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params))
 
     def update_fn(updates, state, params):
         assert params is not None, "fused_adamw needs params (weight decay)"
@@ -49,13 +51,16 @@ def fused_adamw(schedule, b1: float, b2: float, eps: float,
         c2 = 1.0 - b2 ** t
 
         def leaf(g, mu, nu, p, decay):
-            g32 = g.astype(mu.dtype)
-            mu2 = b1 * mu + (1.0 - b1) * g32
-            nu2 = b2 * nu + (1.0 - b2) * (g32 * g32)
+            # moment arithmetic in fp32 even when the STORED moments are
+            # bf16 (state_dtype): read-upcast, write-downcast
+            g32 = g.astype(jnp.float32)
+            mu2 = b1 * mu.astype(jnp.float32) + (1.0 - b1) * g32
+            nu2 = b2 * nu.astype(jnp.float32) + (1.0 - b2) * (g32 * g32)
             upd = (mu2 / c1) / (jnp.sqrt(nu2 / c2) + eps)
             if decay and weight_decay:
                 upd = upd + weight_decay * p
-            return (-lr * upd).astype(p.dtype), mu2, nu2
+            return (-lr * upd).astype(p.dtype), mu2.astype(mu.dtype), \
+                nu2.astype(nu.dtype)
 
         fused = jax.tree.map(leaf, updates, state.mu, state.nu, params,
                              mask_tree)
@@ -117,8 +122,10 @@ def make_optimizer(cfg: OptimizerConfig, params: Any) -> optax.GradientTransform
     if cfg.max_grad_norm:
         chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
     if cfg.fused:
-        chain.append(fused_adamw(schedule, cfg.b1, cfg.b2, cfg.eps,
-                                 cfg.weight_decay, decay_mask(params)))
+        chain.append(fused_adamw(
+            schedule, cfg.b1, cfg.b2, cfg.eps, cfg.weight_decay,
+            decay_mask(params),
+            state_dtype=jnp.dtype(getattr(cfg, "state_dtype", "float32"))))
     else:
         chain.append(
             optax.adamw(

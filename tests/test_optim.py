@@ -72,3 +72,34 @@ def test_make_optimizer_fused_runs_under_jit():
     p2, _ = step(p2, state)
     assert not np.allclose(np.asarray(p2["layer"]["kernel"]),
                            np.asarray(params["layer"]["kernel"]))
+
+
+def test_fused_adamw_bf16_state():
+    """state_dtype='bfloat16': moments stored bf16, arithmetic fp32 —
+    updates stay within the bf16 quantization envelope of the fp32 run."""
+    params = _tree()
+    cfg32 = OptimizerConfig(learning_rate=1e-3, total_steps=100, fused=True)
+    cfg16 = OptimizerConfig(learning_rate=1e-3, total_steps=100, fused=True,
+                            state_dtype="bfloat16")
+    tx32, tx16 = make_optimizer(cfg32, params), make_optimizer(cfg16, params)
+    s32, s16 = tx32.init(params), tx16.init(params)
+
+    # the bf16 state really is bf16 (the memory claim)
+    mus = jax.tree_util.tree_leaves(s16[0].mu if isinstance(s16, tuple)
+                                    else s16.mu)
+    assert all(m.dtype == jnp.bfloat16 for m in mus)
+
+    rs = np.random.RandomState(0)
+    p32 = p16 = params
+    for _ in range(5):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(rs.randn(*p.shape), jnp.float32), params)
+        u, s32 = tx32.update(grads, s32, p32)
+        p32 = optax.apply_updates(p32, u)
+        u, s16 = tx16.update(grads, s16, p16)
+        p16 = optax.apply_updates(p16, u)
+    for a, b in zip(jax.tree_util.tree_leaves(p32),
+                    jax.tree_util.tree_leaves(p16)):
+        # direction agreement within ~1% of the param scale
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.05, atol=2e-5)
