@@ -153,9 +153,16 @@ def _common_train_flags(p: argparse.ArgumentParser) -> None:
                         "identical, checkpoints interchange")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder layers to cut HBM use")
-    p.add_argument("--remat_policy", default="dots", choices=["dots", "full"],
+    p.add_argument("--remat_policy", default="dots",
+                   choices=["dots", "full", "mlp"],
                    help="remat policy: 'dots' keeps matmul outputs (cheap), "
-                        "'full' recomputes whole layers (max memory saving)")
+                        "'full' recomputes whole layers (max memory saving), "
+                        "'mlp' drops only the [B,S,4H] wide MLP tensors")
+    p.add_argument("--opt_state_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="AdamW moment storage dtype: bfloat16 halves the "
+                        "moment bytes (fp32 arithmetic) — frees 1.4GB on "
+                        "the flagship for larger train batches")
     _distributed_flags(p)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (replaces the reference's fp16 AMP)")
@@ -230,7 +237,8 @@ def _engine_train_config(args, train_bs: int, steps_per_epoch: int
             total_steps=args.total_steps
             or max(steps_per_epoch * args.epochs
                    // max(args.gradient_accumulation_steps, 1), 1),
-            grad_accumulation_steps=args.gradient_accumulation_steps),
+            grad_accumulation_steps=args.gradient_accumulation_steps,
+            state_dtype=getattr(args, "opt_state_dtype", "float32")),
     )
 
 
@@ -300,7 +308,8 @@ def _train_config(args, steps_per_epoch: int) -> TrainConfig:
             or max(steps_per_epoch * args.epochs
                    // max(args.gradient_accumulation_steps, 1), 1),
             grad_accumulation_steps=args.gradient_accumulation_steps,
-            freeze_patterns=_freeze_patterns(args)),
+            freeze_patterns=_freeze_patterns(args),
+            state_dtype=getattr(args, "opt_state_dtype", "float32")),
     )
 
 
