@@ -37,6 +37,8 @@ run train_bs32_replay 900 python benchmarks/bench_train.py --batch_size 32 \
   --opt_state_dtype bfloat16
 run train_bs24_replay 900 python benchmarks/bench_train.py --batch_size 24 \
   --opt_state_dtype bfloat16
+run train_bs48_replay 900 python benchmarks/bench_train.py --batch_size 48 \
+  --opt_state_dtype bfloat16
 
 # GCN full-scale on-chip (VERDICT r3 #5): scanned layers shrink the compile
 run gcn_scan_256k 3000 python benchmarks/bench_gcn.py --train \
