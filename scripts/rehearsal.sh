@@ -31,13 +31,16 @@ if [ ! -f "$DATA_DIR/raw/item_info.jsonl" ]; then
     --with_nfnet_ckpt ${CORPUS_FLAGS:-}
 fi
 
+# START_AT applies to train.sh only (steps 0..9); predict.sh has its own
+# step namespace (p0..p8) and resumes via PREDICT_START_AT — a leaked
+# train-side START_AT=6a would otherwise make predict.sh skip every step.
 echo "=== [rehearsal] train.sh begin @ $(date +%s) ==="
-bash scripts/train.sh 2>&1 | tee "$DATA_DIR/train_log.txt"
+START_AT="${START_AT:-}" bash scripts/train.sh 2>&1 | tee "$DATA_DIR/train_log.txt"
 train_rc=${PIPESTATUS[0]}
 echo "=== [rehearsal] train.sh end rc=$train_rc @ $(date +%s) ==="
 
 echo "=== [rehearsal] predict.sh begin @ $(date +%s) ==="
-bash scripts/predict.sh 2>&1 | tee "$DATA_DIR/predict_log.txt"
+START_AT="${PREDICT_START_AT:-}" bash scripts/predict.sh 2>&1 | tee "$DATA_DIR/predict_log.txt"
 pred_rc=${PIPESTATUS[0]}
 echo "=== [rehearsal] predict.sh end rc=$pred_rc @ $(date +%s) ==="
 
@@ -47,16 +50,38 @@ import re
 import sys
 
 data_dir = sys.argv[1]
-rows = []
-for log in ("train_log.txt", "predict_log.txt"):
+# merge with steps recorded by earlier (partial) runs: resumed pipelines
+# preserve their prior logs as train_log_*.txt / predict_log_*.txt and the
+# previous rehearsal_steps.json; a skipped step times at ~0s and must not
+# shadow the real measurement, so "latest non-trivial wins".
+import glob
+timed = {}
+try:
+    for row in json.load(open(f"{data_dir}/rehearsal_steps.json")):
+        timed[row["step"]] = row["seconds"]
+except (FileNotFoundError, ValueError):
+    pass
+logs = sorted(glob.glob(f"{data_dir}/train_log_*.txt")) + \
+    sorted(glob.glob(f"{data_dir}/predict_log_*.txt")) + \
+    [f"{data_dir}/train_log.txt", f"{data_dir}/predict_log.txt"]
+order = []
+for log in logs:
     try:
-        text = open(f"{data_dir}/{log}").read()
+        text = open(log).read()
     except FileNotFoundError:
         continue
     marks = re.findall(r"=== \[(?:train|predict).sh\] step (\S+) @ (\d+) ===",
                        text)
+    skipped = set(re.findall(r"step (\S+) @ \d+ ===\n\s*\(skipped", text))
     for (name, t0), (_, t1) in zip(marks, marks[1:]):
-        rows.append({"step": name, "seconds": int(t1) - int(t0)})
+        if name not in order:
+            order.append(name)
+        secs = int(t1) - int(t0)
+        if name not in skipped and (name not in timed or secs > 0):
+            timed[name] = secs
+rows = [{"step": s, "seconds": timed[s]} for s in order if s in timed]
+rows += [{"step": s, "seconds": v} for s, v in timed.items()
+         if s not in order]
 print(json.dumps({"per_step_seconds": rows}, indent=1))
 open(f"{data_dir}/rehearsal_steps.json", "w").write(json.dumps(rows))
 EOF
