@@ -32,7 +32,7 @@ def main():
     p.add_argument("--opt_state_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="storage dtype for AdamW moments: bf16 cuts the "
-                        "optimizer pass's HBM bytes ~43% and frees 1.4GB "
+                        "optimizer pass's HBM bytes ~43%% and frees 1.4GB "
                         "on the flagship (fp32 arithmetic either way)")
     p.add_argument("--fuse_qkv", action="store_true",
                    help="one [H, 3H] q/k/v projection matmul per layer")
