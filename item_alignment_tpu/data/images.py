@@ -189,6 +189,8 @@ def dump_image_embeddings(item_ids: Sequence[str],
     With ``missing_dim`` set, broken/missing images get a zero embedding of
     that size (the reference's ``img_emb_missing``, data_prepare.py:304);
     otherwise they are skipped."""
+    from item_alignment_tpu.utils.logging import logger
+    total = len(item_ids)
     ids: List[str] = []
     mats: List[np.ndarray] = []
     missing_ids: List[str] = []
@@ -201,6 +203,10 @@ def dump_image_embeddings(item_ids: Sequence[str],
         ids.extend(batch_ids)
         batch_imgs.clear()
         batch_ids.clear()
+        # the dump runs minutes-silent at corpus scale otherwise (the
+        # rehearsal's step 6a looked hung without this)
+        if len(ids) % (batch_size * 64) < batch_size:
+            logger.info("image embeddings: %d/%d encoded", len(ids), total)
 
     for iid, path in zip(item_ids, image_paths):
         img = load_image(path)
