@@ -19,7 +19,10 @@ fi
 echo "=== [r4h] rehearsal drained @ $(date +%s) ===" | tee -a "$OUT/queue.log"
 
 echo "=== [r4h] kernel_suite_rerun @ $(date +%s) ===" | tee -a "$OUT/queue.log"
-timeout 1500 env IA_TPU_TESTS=1 PYTHONPATH=/root/repo python -m pytest \
+# NB append to PYTHONPATH — overwriting it drops /root/.axon_site, the
+# sitecustomize that registers the TPU plugin, and the suite silently
+# skips on CPU ("needs real TPU")
+timeout 1500 env IA_TPU_TESTS=1 PYTHONPATH=/root/repo:${PYTHONPATH:-} python -m pytest \
   tests/test_pallas_kernel_tpu.py -q > "$OUT/kernel_suite_rerun.log" 2>&1
 echo "=== [r4h] kernel_suite_rerun rc=$? @ $(date +%s) ===" | tee -a "$OUT/queue.log"
 

@@ -13,13 +13,18 @@ import os
 # (test_pallas_kernel_tpu.py) can run on the real chip
 _USE_TPU = os.environ.get("IA_TPU_TESTS") == "1"
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# NB: JAX_PLATFORMS *is* read lazily at first backend init on current
+# jax, so setting it here flips even an already-imported jax to CPU —
+# it must therefore be gated on _USE_TPU or the hardware suite silently
+# skips ("needs real TPU") despite IA_TPU_TESTS=1.
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402  (already imported by sitecustomize; config wins)
 
