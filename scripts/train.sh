@@ -62,11 +62,15 @@ step 2-roberta-flagship
 # 2. roberta_large v3.4 one-tower cls (the flagship; lr 5e-5 bs 40 seq 50+205)
 #    Full train-state checkpoints land per epoch; re-running with the same
 #    --checkpoint_dir and --resume continues from the last saved state.
+#    bf16 AdamW moments: measured +4-6% step rate (r4 A/B, COVERAGE.md) and
+#    convergence-tested vs fp32 (tests/test_optim.py
+#    test_bf16_state_convergence_matches_fp32); arithmetic stays fp32.
 g $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
   --vocab_path "$VOCAB" --config_file "$CONFIGS"/roberta_large.json \
   --pretrained_model_path "$PRETRAINED" \
   --model_name roberta_large --data_version v3.4 \
   --max_seq_len 50 --max_seq_len_pv 205 --train_batch_size 40 \
+  --opt_state_dtype bfloat16 \
   --checkpoint_dir "$OUT/roberta_large_ckpt" ${RESUME:+--resume} \
   --learning_rate 5e-5 --epochs "$EPOCHS" --bf16 --do_train --do_eval
 
@@ -77,7 +81,8 @@ g $IA finetune-text --data_dir "$DATA_DIR/processed" --output_dir "$OUT" \
   --pretrained_model_path "$PRETRAINED" \
   --model_name roberta_large --data_version v3.4 --cls_layers 1,2,3,4 \
   --cls_pool cat --max_seq_len 50 --max_seq_len_pv 205 \
-  --train_batch_size 40 --learning_rate 5e-5 --epochs "$EPOCHS" --bf16 --do_train
+  --train_batch_size 40 --opt_state_dtype bfloat16 \
+  --learning_rate 5e-5 --epochs "$EPOCHS" --bf16 --do_train
 
 step 4-pkgm-finetune
 # 4. pkgm_large one-tower (seq 64, max_pvs 30, effective batch 256).

@@ -103,3 +103,60 @@ def test_fused_adamw_bf16_state():
         # direction agreement within ~1% of the param scale
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0.05, atol=2e-5)
+
+
+def test_bf16_state_convergence_matches_fp32():
+    """Training-level A/B for ``state_dtype='bfloat16'`` (the flagship
+    recipe's memory lever): 60 AdamW steps on a tiny RobertaOneTower must
+    reach the same loss basin as fp32 moments.  Guards the known bf16-Adam
+    failure mode — the (1-b2)=1e-3 second-moment increments are below the
+    bf16 ULP, so a *stored-state* accumulation (instead of the fused
+    read-upcast/compute-fp32/write-downcast) would freeze nu and stall."""
+    from item_alignment_tpu.config import ModelConfig
+    from item_alignment_tpu.models.text import RobertaOneTower
+
+    cfg = ModelConfig.roberta_large(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, vocab_size=120, max_seq_len=12,
+        max_seq_len_pv=12, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0)
+    model = RobertaOneTower(cfg)
+    rng = jax.random.PRNGKey(0)
+    B, S = 8, cfg.pair_seq_len
+    ids = jax.random.randint(rng, (B, S), 1, cfg.vocab_size, jnp.int32)
+    masks = jnp.ones((B, S), jnp.int32)
+    labels = jnp.asarray(np.arange(B) % 2, jnp.int32)
+    params0 = jax.jit(model.init)(
+        {"params": rng, "dropout": rng}, ids, masks,
+        labels=labels)["params"]
+
+    def run(state_dtype):
+        ocfg = OptimizerConfig(learning_rate=3e-3, total_steps=60,
+                               fused=True, state_dtype=state_dtype)
+        tx = make_optimizer(ocfg, params0)
+        s = tx.init(params0)
+        p = params0
+
+        @jax.jit
+        def step(p, s):
+            def loss_fn(p):
+                return model.apply({"params": p}, ids, masks,
+                                   labels=labels).loss
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            u, s2 = tx.update(g, s, p)
+            return optax.apply_updates(p, u), s2, loss
+
+        first = None
+        for _ in range(60):
+            p, s, loss = step(p, s)
+            if first is None:
+                first = float(loss)
+        return first, float(loss)
+
+    first32, last32 = run("float32")
+    _, last16 = run("bfloat16")
+    drop32 = first32 - last32
+    assert drop32 > 0.3 * first32, f"fp32 run failed to learn: {last32}"
+    # bf16 moments must capture >=90% of the fp32 loss improvement
+    assert (first32 - last16) > 0.9 * drop32, (
+        f"bf16-moment training diverged from fp32: {last16} vs {last32}")
