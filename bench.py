@@ -161,10 +161,13 @@ def _require_live_backend(timeout_s: float = 180.0) -> None:
 
 def _regression_gate(result: dict) -> dict:
     """Per-round perf regression gate (VERDICT r3 weak #2: headline numbers
-    drifted r1->r3 with nothing tracking it).  Compares this run's headline
-    metrics against the newest BENCH_r{N}.json in the repo root and returns
-    {metric: {prev, now, pct}} for any metric that dropped more than 2%.
-    The caller embeds it in the JSON line and mirrors it to stderr — loud,
+    drifted r1->r3 with nothing tracking it; VERDICT r4 weak #4: comparing
+    only the adjacent round lets sub-2% slides ratchet).  Compares this
+    run's headline metrics against BOTH the newest BENCH_r{N}.json (>2%
+    round-over-round drop) and the blessed best-known-good values in
+    BASELINE_BENCH.json (>2% cumulative drift).  Returns
+    {metric: {prev|blessed, now, pct}} for anything that fired.  The
+    caller embeds it in the JSON line and mirrors it to stderr — loud,
     but never fatal (bench must always record a number)."""
     import glob
     import os
@@ -172,31 +175,42 @@ def _regression_gate(result: dict) -> dict:
     import sys
 
     here = os.path.dirname(os.path.abspath(__file__))
+    watched = ("value", "flagship_cross_encoder_pairs_per_sec",
+               "flagship_train_pairs_per_sec")
+    regressions = {}
+
+    def compare(baseline: dict, label: str, ref_key: str):
+        for key in watched:
+            p, n = baseline.get(key), result.get(key)
+            if isinstance(p, (int, float)) and isinstance(n, (int, float)) \
+                    and p:
+                pct = (n - p) / p * 100.0
+                if pct < -2.0:
+                    entry = regressions.setdefault(key, {"now": n})
+                    entry[ref_key] = p
+                    entry[f"{ref_key}_pct"] = round(pct, 2)
+                    entry[f"{ref_key}_src"] = label
+
     rounds = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
             rounds.append((int(m.group(1)), path))
-    if not rounds:
-        return {}
-    prev_path = max(rounds)[1]
+    if rounds:
+        prev_path = max(rounds)[1]
+        try:
+            prev = json.load(open(prev_path)).get("parsed") or {}
+            compare(prev, os.path.basename(prev_path), "prev")
+        except Exception:
+            pass
     try:
-        prev = json.load(open(prev_path)).get("parsed") or {}
+        blessed = json.load(
+            open(os.path.join(here, "BASELINE_BENCH.json")))["metrics"]
+        compare(blessed, "BASELINE_BENCH.json", "blessed")
     except Exception:
-        return {}
-    watched = ("value", "flagship_cross_encoder_pairs_per_sec",
-               "flagship_train_pairs_per_sec")
-    regressions = {}
-    for key in watched:
-        p, n = prev.get(key), result.get(key)
-        if isinstance(p, (int, float)) and isinstance(n, (int, float)) and p:
-            pct = (n - p) / p * 100.0
-            if pct < -2.0:
-                regressions[key] = {"prev": p, "now": n,
-                                    "pct": round(pct, 2)}
+        pass
     if regressions:
-        print(f"PERF REGRESSION vs {os.path.basename(prev_path)}: "
-              f"{regressions}", file=sys.stderr, flush=True)
+        print(f"PERF REGRESSION: {regressions}", file=sys.stderr, flush=True)
     return regressions
 
 

@@ -157,7 +157,11 @@ def _common_train_flags(p: argparse.ArgumentParser) -> None:
                    choices=["dots", "full", "mlp"],
                    help="remat policy: 'dots' keeps matmul outputs (cheap), "
                         "'full' recomputes whole layers (max memory saving), "
-                        "'mlp' drops only the [B,S,4H] wide MLP tensors")
+                        "'mlp' = dots minus the [B,S,4H] wide MLP matmul "
+                        "(lightest recompute). NB: the blessed flagship "
+                        "recipe trains WITHOUT --remat (plain AD, batch 40) "
+                        "— every measured policy lost to it on a 16GB chip; "
+                        "use remat only when the batch does not fit")
     p.add_argument("--opt_state_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="AdamW moment storage dtype: bfloat16 halves the "

@@ -140,12 +140,19 @@ class ModelConfig:
                                               # at ~no FLOP cost), "full"
                                               # recomputes the whole layer
                                               # (max memory savings), "mlp"
-                                              # drops ONLY the [B, S, 4H]
-                                              # wide MLP tensors (one
-                                              # intermediate-matmul of
-                                              # recompute; the cheapest
-                                              # policy that fits batch 32+
-                                              # on a 16GB chip)
+                                              # = "dots" minus the [B, S,
+                                              # 4H] wide MLP matmul (one
+                                              # extra matmul of recompute,
+                                              # smaller residual set than
+                                              # "dots").  NB the blessed
+                                              # flagship recipe uses PLAIN
+                                              # AD (no remat) at batch 40:
+                                              # every measured remat policy
+                                              # lost to it on a 16GB chip
+                                              # (COVERAGE.md round-4/5 A/B);
+                                              # remat only pays when the
+                                              # batch does not otherwise fit
+                                              # (e.g. pkgm bs 64 "full")
     quant: Optional[str] = None               # None | "int8": int8 MXU path
                                               # for the encoder's dense
                                               # projections (inference knob;

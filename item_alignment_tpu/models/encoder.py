@@ -16,8 +16,6 @@ from typing import Any, List, Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-from jax.ad_checkpoint import checkpoint_name
-
 from item_alignment_tpu.config import ModelConfig
 from item_alignment_tpu.ops.attention import (
     dot_product_attention,
@@ -171,16 +169,13 @@ class TransformerLayer(nn.Module):
                               name="attention_layer_norm")(hidden + attn_out)
 
         act = ACT[cfg.hidden_act]
-        # the [B, S, 4H] wide tensors are tagged so remat_policy == "mlp"
-        # can drop EXACTLY them (pre-act + post-act, by far the largest
-        # residuals) and keep everything else resident: +1 intermediate
-        # matmul of recompute buys back ~45% of the saved-activation bytes
+        # the [B, S, 4H] wide MLP pre-activation is the largest residual;
+        # remat_policy == "mlp" drops exactly this matmul's output (keyed
+        # on its [H, 4H] rhs shape in TransformerEncoder's policy below)
         mlp = _dense_cls(cfg)(
             cfg.intermediate_size, name="intermediate", dtype=dt,
             kernel_init=nn.initializers.normal(cfg.initializer_range))(hidden)
-        mlp = checkpoint_name(mlp, "mlp_wide")
         mlp = act(mlp)
-        mlp = checkpoint_name(mlp, "mlp_wide")
         mlp = _dense_cls(cfg)(
             cfg.hidden_size, name="mlp_output", dtype=dt,
             kernel_init=nn.initializers.normal(cfg.initializer_range))(mlp)
@@ -219,13 +214,27 @@ class TransformerEncoder(nn.Module):
             if cfg.remat_policy == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
             elif cfg.remat_policy == "mlp":
-                # keep everything resident EXCEPT the [B, S, 4H] wide MLP
-                # tensors tagged in TransformerLayer: per flagship layer
-                # that trades one [S, H]x[H, 4H] recompute matmul for
-                # 2 x (4H/H) x the residual stream's bytes — the policy
-                # that lets batch 32/64 train without full-layer recompute
-                policy = jax.checkpoint_policies.save_anything_except_these_names(
-                    "mlp_wide")
+                # "dots" minus the wide MLP matmul: saveable = non-batch
+                # dot_generals EXCEPT the one whose rhs is the [H, 4H]
+                # intermediate kernel, so the [B, S, 4H] pre-activation is
+                # recomputed in the backward (one extra matmul per layer)
+                # and every other matmul output stays resident.  This is a
+                # strictly SMALLER residual set than "dots" — the round-4
+                # formulation (`save_anything_except_these_names`) marked
+                # every unnamed intermediate saveable, a LARGER set than
+                # plain AD's XLA-chosen residuals, and compile-OOMed at
+                # bs 32/64 (21.25G vs 15.75G, COVERAGE.md round-4 A/B).
+                dots = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                wide = int(cfg.intermediate_size)
+
+                def policy(prim, *avals, **params):
+                    if not dots(prim, *avals, **params):
+                        return False
+                    if (prim.name == "dot_general" and len(avals) >= 2
+                            and getattr(avals[-1], "ndim", 0) == 2
+                            and avals[-1].shape[-1] == wide):
+                        return False
+                    return True
             layer_cls = nn.remat(TransformerLayer, policy=policy,
                                  static_argnums=(3,))  # deterministic
         states = [hidden]
