@@ -159,7 +159,7 @@ def _require_live_backend(timeout_s: float = 180.0) -> None:
         os._exit(3)
 
 
-def _regression_gate(result: dict) -> dict:
+def _regression_gate(result: dict, here: str = None) -> dict:
     """Per-round perf regression gate (VERDICT r3 weak #2: headline numbers
     drifted r1->r3 with nothing tracking it; VERDICT r4 weak #4: comparing
     only the adjacent round lets sub-2% slides ratchet).  Compares this
@@ -174,7 +174,8 @@ def _regression_gate(result: dict) -> dict:
     import re
     import sys
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     watched = ("value", "flagship_cross_encoder_pairs_per_sec",
                "flagship_train_pairs_per_sec")
     regressions = {}

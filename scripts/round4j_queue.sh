@@ -23,14 +23,20 @@ fi
 echo "=== [r4j] start @ $(date +%s) ===" | tee -a "$OUT/queue.log"
 
 run() {
+  # a step is CACHED only via its .ok sentinel, written only on rc=0
+  # (ADVICE r4: grepping the log for '^{' treated failed runs — bench.py
+  # error JSON, timeout-killed partial output — as complete forever)
   local name=$1 t=$2; shift 2
-  if [ -s "$OUT/$name.log" ] && grep -q '^{' "$OUT/$name.log"; then
-    echo "=== [r4j] $name CACHED ===" | tee -a "$OUT/queue.log"
+  if [ -e "$OUT/$name.ok" ]; then
+    echo "=== [r4j] $name CACHED (.ok) ===" | tee -a "$OUT/queue.log"
     return
   fi
   echo "=== [r4j] $name @ $(date +%s) ===" | tee -a "$OUT/queue.log"
   timeout "$t" "$@" > "$OUT/$name.log" 2>&1
-  echo "=== [r4j] $name rc=$? @ $(date +%s) ===" | tee -a "$OUT/queue.log"
+  local rc=$?
+  [ "$rc" = 0 ] && ! grep -q '"error"' "$OUT/$name.log" \
+    && touch "$OUT/$name.ok"
+  echo "=== [r4j] $name rc=$rc @ $(date +%s) ===" | tee -a "$OUT/queue.log"
 }
 
 run bench_headline 1800 python bench.py
