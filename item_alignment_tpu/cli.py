@@ -1314,9 +1314,13 @@ def cmd_pred_text(argv: List[str]) -> int:
         logger.info(f"overlaid finetuned encoder from {args.file_state_dict}")
 
     @jax.jit
-    def encode_k(ids, mask):  # [K, B, S] -> [K, B, H]: K batches per
-        # dispatch via lax.scan — a per-batch python loop pays the remote
-        # tunnel round trip (~86ms) 1300+ times at reference scale
+    def encode_k(bparams, pparams, ids, mask):
+        # [K, B, S] -> [K, B, H]: K batches per dispatch via lax.scan — a
+        # per-batch python loop pays the remote tunnel round trip (~86ms)
+        # 1300+ times at reference scale.  Params are jit ARGUMENTS:
+        # closed over they would embed as ~1.3GB of HLO constants (round-5
+        # GCN finding) and key the compile cache on the checkpoint values,
+        # forcing a fresh compile per finetuned checkpoint.
         def body(c, xm):
             x, m = xm
             h = backbone.apply(bparams, x, m)[-1]
@@ -1338,7 +1342,8 @@ def cmd_pred_text(argv: List[str]) -> int:
         ids = ids_all[g * per: (g + 1) * per].reshape(K, B, S)
         mask = mask_all[g * per: (g + 1) * per].reshape(K, B, S)
         out = _retry_transient(
-            lambda: np.asarray(encode_k(jnp.array(ids), jnp.array(mask))))
+            lambda: np.asarray(encode_k(bparams, pparams, jnp.array(ids),
+                                        jnp.array(mask))))
         feats.append(out.reshape(per, -1))
     matrix = np.concatenate(feats)[:n]
     np.save(args.output, matrix)
@@ -1775,11 +1780,19 @@ def cmd_finetune_graph(argv: List[str]) -> int:
     tx = optax.adam(args.learning_rate)
     opt = tx.init(params)
 
+    # the graph arrays MUST be jit arguments, never closed over: a
+    # closed-over [230k, 1024] feature matrix + 2M-edge lists become HLO
+    # constants and the lowered module balloons to ~1GB (measured: 214MB
+    # at 50k/400k vs 84KB with args), which is what broke the
+    # remote-compile relay on every reference-scale attempt in rounds 3-4
+    graph_args = (feats_j, ei, ew) + (tuple(trans) if trans is not None
+                                      else ())
+
     @jax.jit
-    def step(p, o, s, t, l, rng):
+    def step(p, o, s, t, l, rng, feats, eij, ewj, *tr):
         loss, g = jax.value_and_grad(
-            lambda p: model.apply(p, feats_j, ei, ew, s, t, labels=l,
-                                  edge_transpose=trans,
+            lambda p: model.apply(p, feats, eij, ewj, s, t, labels=l,
+                                  edge_transpose=tr if tr else None,
                                   deterministic=False,
                                   rngs={"dropout": rng}).loss)(p)
         u, o = tx.update(g, o, p)
@@ -1793,7 +1806,8 @@ def cmd_finetune_graph(argv: List[str]) -> int:
             rng, k = jax.random.split(rng)
             params, opt, loss = step(params, opt, jnp.asarray(tr_src[idx]),
                                      jnp.asarray(tr_tgt[idx]),
-                                     jnp.asarray(tr_lab[idx]), k)
+                                     jnp.asarray(tr_lab[idx]), k,
+                                     *graph_args)
         if epoch % 10 == 0:
             logger.info(f"[gcn] epoch {epoch} loss {float(loss):.4f}")
 
@@ -1801,15 +1815,16 @@ def cmd_finetune_graph(argv: List[str]) -> int:
     if args.valid_pairs:
         v_src, v_tgt, v_lab = load_pairs(args.valid_pairs)
         probs = []
-        eval_fn = jax.jit(lambda p, s, t: model.apply(
-            p, feats_j, ei, ew, s, t).probs)
+        eval_fn = jax.jit(lambda p, s, t, feats, eij, ewj, *tr: model.apply(
+            p, feats, eij, ewj, s, t,
+            edge_transpose=tr if tr else None).probs)
         pad = (-len(v_src)) % bs
         vs = np.concatenate([v_src, np.zeros(pad, np.int32)])
         vt = np.concatenate([v_tgt, np.zeros(pad, np.int32)])
         for s0 in range(0, len(vs), bs):
             probs.append(np.asarray(eval_fn(
                 params, jnp.asarray(vs[s0:s0 + bs]),
-                jnp.asarray(vt[s0:s0 + bs]))))
+                jnp.asarray(vt[s0:s0 + bs]), *graph_args)))
         probs = np.concatenate(probs)[: len(v_src)]
         f1, pr, rc, thr = M.find_best_f1_and_threshold(v_lab, probs)
         out.update(best_f1=f1, best_threshold=thr)
