@@ -111,24 +111,14 @@ class SelfAttention(nn.Module):
             qkv = hidden.astype(dt) @ w + b
             q, k, v = (t.reshape(B, S, N, D)
                        for t in jnp.split(qkv, 3, axis=-1))
-        elif cfg.quant == "int8":
-            # quantize the shared input ONCE for the Q/K/V trio (the
-            # per-token dynamic scales are an extra pass over the
-            # activations; paying it per-projection was a measured part of
-            # the int8 text-path loss).  Param tree identical to the
-            # unfused path — checkpoints interchange.
-            from item_alignment_tpu.ops.quant import (
-                int8_matmul_prequant, quantize_rowwise,
-            )
-
-            wq, bq = _DenseParams(H, init, name="query")(H)
-            wk, bk = _DenseParams(H, init, name="key")(H)
-            wv, bv = _DenseParams(H, init, name="value")(H)
-            x_q, x_scale = quantize_rowwise(hidden.reshape(-1, H))
-            q, k, v = (int8_matmul_prequant(x_q, x_scale, w, b, dt)
-                       .reshape(B, S, N, D)
-                       for w, b in ((wq, bq), (wk, bk), (wv, bv)))
         else:
+            # NB int8 (cfg.quant) takes this path too, quantizing the
+            # activations per projection: sharing one quantization pass
+            # across the Q/K/V trio was tried and measured at +0.4%
+            # (282.7 vs 281.6 pairs/s on the 510-token cross-encoder,
+            # benchlogs/r5/xenc_int8.log) — within noise, so the special
+            # branch was reverted (round-5 resolution of the r4 verdict's
+            # "win or revert").
             dense = lambda name: _dense_cls(cfg)(  # noqa: E731
                 H, name=name, dtype=dt, kernel_init=init)
             q = dense("query")(hidden).reshape(B, S, N, D)

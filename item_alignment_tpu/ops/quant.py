@@ -57,14 +57,14 @@ def quantize_colwise(w: jax.Array):
 def int8_matmul_prequant(x_q: jax.Array, x_scale: jax.Array,
                          kernel: jax.Array, bias=None,
                          out_dtype=jnp.float32) -> jax.Array:
-    """int8 MXU matmul with ALREADY-quantized activations.
+    """int8 MXU matmul with ALREADY-quantized activations (the core of
+    ``int8_matmul``; activation quantization is split out so a caller
+    with several projections off one input could share it).
 
-    Lets callers with several projections off the same input (the
-    attention Q/K/V trio) pay the dynamic per-token quantization — an
-    extra read+reduce+write over the [rows, D_in] activations — once
-    instead of once per matmul; the measured int8 text-path loss
-    (COVERAGE r3 honest negatives) is dominated by exactly that
-    activation-side VPU/HBM work."""
+    NB sharing the quantization pass across the encoder's Q/K/V trio was
+    tried and measured at +0.4% on the 510-token cross-encoder (282.7 vs
+    281.6 pairs/s, benchlogs/r5/xenc_int8.log) — within noise; the
+    encoder keeps the plain per-projection path."""
     w_q, w_scale = quantize_colwise(kernel)
     acc = jax.lax.dot_general(
         x_q, w_q, (((1,), (0,)), ((), ())),
