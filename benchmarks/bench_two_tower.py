@@ -27,6 +27,10 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--quant", default=None, choices=["int8"])
+    p.add_argument("--batch_size", type=int, default=64,
+                   help="encode batch; the 255-token tower may sit better "
+                        "on the MXU at 128/256 than the cross-encoder's "
+                        "510-token bs-64 sweet spot")
     args = p.parse_args()
 
     cfg = ModelConfig.roberta_large(
@@ -35,7 +39,7 @@ def main():
         quant=args.quant)
     backbone = RobertaBackbone(cfg)
     S = cfg.item_seq_len  # 255 tokens per item in the two-tower layout
-    B, iters = 64, 4
+    B, iters = args.batch_size, max(1, 256 // args.batch_size)
 
     rng = jax.random.PRNGKey(0)
     ids = jax.random.randint(rng, (iters, B, S), 1, cfg.vocab_size, jnp.int32)
@@ -81,6 +85,7 @@ def main():
     pairs_per_sec = n_pairs / score_dt
 
     print(json.dumps({
+        "encode_batch": B,
         "item_encode_per_sec": round(items_per_sec, 1),
         "cached_pair_score_per_sec": round(pairs_per_sec, 1),
         "note": "north-star >=10k pairs/s holds when pair lists reuse "
