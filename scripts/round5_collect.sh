@@ -13,9 +13,12 @@ DEST=benchlogs/r5/rehearsal
 mkdir -p "$DEST"
 
 cp "$SRC/queue.log" "$DEST/orchestrator.log" 2>/dev/null || true
-cp "$SRC/rehearsal.log" "$DEST/rehearsal.log" 2>/dev/null || true
-cp "$DATA_DIR/train_log.txt" "$DEST/train_log.txt" 2>/dev/null || true
-cp "$DATA_DIR/predict_log.txt" "$DEST/predict_log.txt" 2>/dev/null || true
+# the pass was interrupted once (TPU relay stall at step 7-nfnet, killed
+# with the session); attempt-1 logs are preserved as *_1 so every step's
+# rc line stays resolvable in-repo across the resume
+cp "$SRC"/rehearsal*.log "$DEST/" 2>/dev/null || true
+cp "$DATA_DIR"/train_log*.txt "$DEST/" 2>/dev/null || true
+cp "$DATA_DIR"/predict_log*.txt "$DEST/" 2>/dev/null || true
 cp "$DATA_DIR/rehearsal_steps.json" "$DEST/" 2>/dev/null || true
 
 python - "$DATA_DIR" "$DEST" <<'EOF'
