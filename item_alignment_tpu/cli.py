@@ -1337,6 +1337,13 @@ def cmd_pred_text(argv: List[str]) -> int:
         # garbage that is sliced off below)
         ids_all = np.pad(ids_all, ((0, n_groups * per - n), (0, 0)))
         mask_all = np.pad(mask_all, ((0, n_groups * per - n), (0, 0)))
+    # params are jit ARGUMENTS (see encode_k) but must live on the device
+    # as jax.Arrays BEFORE the loop: numpy arguments are re-uploaded on
+    # every dispatch — ~1.3GB of fp32 through the remote tunnel per group,
+    # 171 times at reference scale, and the per-call host copies OOMed a
+    # 125GB host mid-encode (round-5 rehearsal, step 9).
+    bparams = jax.device_put(bparams)
+    pparams = jax.device_put(pparams)
     feats = []
     for g in range(n_groups):
         ids = ids_all[g * per: (g + 1) * per].reshape(K, B, S)
@@ -1345,6 +1352,8 @@ def cmd_pred_text(argv: List[str]) -> int:
             lambda: np.asarray(encode_k(bparams, pparams, jnp.array(ids),
                                         jnp.array(mask))))
         feats.append(out.reshape(per, -1))
+        if (g + 1) % 10 == 0 or g + 1 == n_groups:
+            logger.info(f"pred-text: {min((g + 1) * per, n)}/{n} encoded")
     matrix = np.concatenate(feats)[:n]
     np.save(args.output, matrix)
     print(json.dumps({"output": args.output, "shape": list(matrix.shape)}))
