@@ -26,4 +26,4 @@ print('tunnel ok, devices:', jax.devices())
   sleep 100
 done
 
-START_AT=7 bash scripts/round5_rehearsal.sh
+START_AT="${RESUME_START_AT:-7}" bash scripts/round5_rehearsal.sh
