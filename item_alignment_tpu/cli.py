@@ -1194,6 +1194,10 @@ def cmd_pred_text(argv: List[str]) -> int:
     p.add_argument("--quant", default=None, choices=["int8"],
                    help="int8 MXU path for the encoder's dense projections "
                         "(the 258k-entity encode pass is dense-dominated)")
+    p.add_argument("--xfer_guard", action="store_true",
+                   help="fail on any implicit host->device transfer in the "
+                        "encode loop (regression guard for the numpy-params "
+                        "per-dispatch re-upload)")
     args = p.parse_args(argv)
 
     import jax
@@ -1344,16 +1348,24 @@ def cmd_pred_text(argv: List[str]) -> int:
     # 125GB host mid-encode (round-5 rehearsal, step 9).
     bparams = jax.device_put(bparams)
     pparams = jax.device_put(pparams)
+    # --xfer_guard turns that discipline into a hard error for the loop:
+    # every host->device byte below must go through an explicit device_put
+    # (under the guard jnp.array(numpy) also counts as implicit)
+    import contextlib
+    guard = (jax.transfer_guard_host_to_device("disallow")
+             if args.xfer_guard else contextlib.nullcontext())
     feats = []
-    for g in range(n_groups):
-        ids = ids_all[g * per: (g + 1) * per].reshape(K, B, S)
-        mask = mask_all[g * per: (g + 1) * per].reshape(K, B, S)
-        out = _retry_transient(
-            lambda: np.asarray(encode_k(bparams, pparams, jnp.array(ids),
-                                        jnp.array(mask))))
-        feats.append(out.reshape(per, -1))
-        if (g + 1) % 10 == 0 or g + 1 == n_groups:
-            logger.info(f"pred-text: {min((g + 1) * per, n)}/{n} encoded")
+    with guard:
+        for g in range(n_groups):
+            ids = ids_all[g * per: (g + 1) * per].reshape(K, B, S)
+            mask = mask_all[g * per: (g + 1) * per].reshape(K, B, S)
+            out = _retry_transient(
+                lambda: np.asarray(encode_k(bparams, pparams,
+                                            jax.device_put(ids),
+                                            jax.device_put(mask))))
+            feats.append(out.reshape(per, -1))
+            if (g + 1) % 10 == 0 or g + 1 == n_groups:
+                logger.info(f"pred-text: {min((g + 1) * per, n)}/{n} encoded")
     matrix = np.concatenate(feats)[:n]
     np.save(args.output, matrix)
     print(json.dumps({"output": args.output, "shape": list(matrix.shape)}))

@@ -262,6 +262,29 @@ def test_pred_text_parallel_tokenization_matches_serial(corpus, capsys,
     np.testing.assert_array_equal(ser, par)
 
 
+def test_pred_text_no_implicit_host_to_device(corpus, capsys, tmp_path):
+    """Every host->device crossing in pred-text's encode loop must be
+    explicit (device_put / jnp.array).  Numpy params passed straight into
+    the jitted encode are re-uploaded per dispatch — ~1.3GB of fp32
+    through the remote tunnel per group at reference scale, which OOMed
+    the host in the round-5 rehearsal.  --xfer_guard wraps the loop in
+    jax.transfer_guard_host_to_device("disallow")."""
+    processed = corpus / "processed"
+    if not (processed / "entity2id.txt").exists():
+        main(["prepare", "--data_dir", str(corpus / "raw"),
+              "--output_dir", str(processed)])
+        capsys.readouterr()
+    rc = main(["pred-text", "--entity2id", str(processed / "entity2id.txt"),
+               "--item_info", str(corpus / "raw" / "item_info.jsonl"),
+               "--vocab_path", str(corpus / "vocab"),
+               "--config_file", str(corpus / "tiny.json"),
+               "--max_seq_len", "8", "--batch_size", "4",
+               "--num_workers", "0", "--allow_random_weights",
+               "--xfer_guard", "--output", str(tmp_path / "g.npy")])
+    assert rc == 0
+    assert np.load(tmp_path / "g.npy").shape[1] == 32
+
+
 def test_pred_text_scan_chunks_matches_per_batch(corpus, capsys, tmp_path):
     """K-batches-per-dispatch (lax.scan) must produce the same matrix as
     one batch per dispatch, including tail padding."""
