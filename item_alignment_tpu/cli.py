@@ -1740,6 +1740,13 @@ def cmd_finetune_graph(argv: List[str]) -> int:
                    help="scan the edge list in chunks of this size "
                         "(bounds message-buffer memory at reference scale; "
                         "try 262144 for the 2M-edge CCKS graph)")
+    p.add_argument("--scan_layers", action="store_true",
+                   help="lax.scan over the GCNII layers instead of "
+                        "unrolling them: shrinks the compiled program ~4x. "
+                        "REQUIRED at reference scale — the unrolled "
+                        "230k+/2M+ compile never finished through the "
+                        "remote relay (r5: 322.3 ms/step with scan+chunk, "
+                        "benchlogs/r5/gcn_scan_256k.log)")
     args = p.parse_args(argv)
 
     import jax
@@ -1791,6 +1798,7 @@ def cmd_finetune_graph(argv: List[str]) -> int:
                       gcn_layers=args.gcn_layers,
                       gcn_feature_dim=feats.shape[1],
                       gcn_edge_chunk=edge_chunk,
+                      gcn_scan_layers=args.scan_layers,
                       gcn_sorted_edges=sorted_edges)
     model = GCNTwoTower(cfg)
     bs = min(args.batch_size, len(tr_src))

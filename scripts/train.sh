@@ -177,6 +177,6 @@ g $IA finetune-graph \
   --edges "$DATA_DIR/graph/edges.npz" \
   --train_pairs "$DATA_DIR/graph/item_train_train_pair.jsonl" \
   --valid_pairs "$DATA_DIR/graph/item_train_valid_pair.jsonl" \
-  --edge_chunk 262144 \
+  --edge_chunk 262144 --scan_layers \
   --output_dir "$OUT/gcn"
 step done

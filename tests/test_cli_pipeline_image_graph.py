@@ -189,6 +189,19 @@ def test_build_graph_and_finetune_graph(corpus, capsys, tmp_path):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(out["final_loss"])
 
+    # --scan_layers (train.sh step 9's reference-scale recipe: the
+    # unrolled compile never finished through the remote relay) plumbs
+    # through the CLI and still trains
+    rc = main(["finetune-graph", "--feature_matrix", str(tmp_path / "feats.npy"),
+               "--edges", str(tmp_path / "edges.npz"),
+               "--train_pairs", str(tmp_path / "item_train_train_pair.jsonl"),
+               "--output_dir", str(tmp_path / "gcn_scan"), "--gcn_hidden", "8",
+               "--gcn_layers", "2", "--epochs", "2", "--batch_size", "4",
+               "--scan_layers", "--edge_chunk", "8"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["final_loss"])
+
 
 def test_pred_text_requires_and_loads_weights(corpus, capsys, tmp_path):
     processed = corpus / "processed"
